@@ -1,0 +1,46 @@
+"""TPU-native Autoregressive Neural Quantum States for second-quantized quantum chemistry.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of the reference
+ANQS quantum-chemistry library (see SURVEY.md): variational Monte Carlo
+ground-state optimization of molecular electronic structure with autoregressive
+neural quantum states, quantum-number symmetry projection enforced during
+ancestral sampling, exact unique-determinant samplers, and an MXU-native
+local-energy engine.
+
+Unlike the reference (which delegates integrals/HF/FCI to PySCF/OpenFermion),
+this framework is fully standalone: `anqs_quantum_chemistry_tpu.chem` provides
+Gaussian integrals, RHF, FCI/CISD/MP2 and the Jordan-Wigner transform in pure
+numpy/scipy.
+
+Design notes (TPU-first):
+  * Determinants are bit-packed into ``(B, W)`` uint32 words (W = ceil(n/32));
+    no 64-bit integers on the device hot path.
+  * All sampling runs with fixed-capacity frontiers under ``jit`` -- no
+    data-dependent shapes.
+  * Matrix elements are computed via a binary matmul on the MXU:
+    sign(x, term) = (-1)^<bits(x), bits(yz)> so the sign matrix is
+    ``bits(X) @ bits(YZ)^T mod 2`` followed by a segment-sum, replacing the
+    reference's scatter-add pipeline
+    (reference: nqs/nqs/stochastic/observables/pauli_observable.py:255-324).
+
+64-bit support is enabled at import for host-side precision (energy estimators,
+test oracles); device hot paths use explicit 32-bit dtypes throughout.
+"""
+
+import os
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: compiles in this environment are expensive
+# (routed through a remote compile helper), so cache aggressively.
+_cache_dir = os.environ.get(
+    "ANQS_JAX_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+__version__ = "0.1.0"

@@ -1,0 +1,182 @@
+"""Gaussian basis sets (standalone; no external basis-set libraries).
+
+The reference delegates all of this to PySCF (reference:
+nqs/nqs/applications/quantum_chemistry/run_pyscf.py:108-192); here the basis
+data is embedded so the framework has zero chemistry dependencies.
+
+STO-3G is generated from the universal STO-3G least-squares expansions of
+Slater orbitals with zeta = 1 (Hehre, Stewart, Pople, JCP 51, 2657 (1969)):
+primitive exponents scale as ``alpha * zeta**2`` with the published per-element
+zeta values. 6-31G data for H/C/N/O is embedded directly (Hehre, Ditchfield,
+Pople, JCP 56, 2257 (1972) values as distributed by basis-set exchanges).
+
+Contractions use Cartesian primitives; only s and p shells are required for
+the supported first-row elements.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+ELEMENTS = {
+    "H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8,
+    "F": 9, "Ne": 10,
+}
+
+# Universal STO-3G expansions of zeta=1 Slater orbitals: (exponent, coef).
+_STO3G_1S = (
+    (2.227660584, 0.154328967),
+    (0.405771156, 0.535328142),
+    (0.109818000, 0.444634542),
+)
+_STO3G_2SP_EXP = (0.994203000, 0.231031000, 0.075138600)
+_STO3G_2S_COEF = (-0.099967230, 0.399512826, 0.700115469)
+_STO3G_2P_COEF = (0.155916275, 0.607683719, 0.391957393)
+
+# Published STO-3G zeta values (1s, 2sp) per element.
+_STO3G_ZETA = {
+    "H": (1.24, None),
+    "He": (1.69, None),
+    "Li": (2.69, 0.80),
+    "Be": (3.68, 1.15),
+    "B": (4.68, 1.50),
+    "C": (5.67, 1.72),
+    "N": (6.67, 1.95),
+    "O": (7.66, 2.25),
+    "F": (8.65, 2.55),
+    "Ne": (9.64, 2.88),
+}
+
+# 6-31G: element -> list of (angmom_label, [(exp, coef_s[, coef_p]), ...]).
+_631G: Dict[str, list] = {
+    "H": [
+        ("S", [(18.7311370, 0.03349460),
+               (2.8253937, 0.23472695),
+               (0.6401217, 0.81375733)]),
+        ("S", [(0.1612778, 1.0)]),
+    ],
+    "C": [
+        ("S", [(3047.5249, 0.0018347), (457.36951, 0.0140373),
+               (103.94869, 0.0688426), (29.210155, 0.2321844),
+               (9.2866630, 0.4679413), (3.1639270, 0.3623120)]),
+        ("SP", [(7.8682724, -0.1193324, 0.0689991),
+                (1.8812885, -0.1608542, 0.3164240),
+                (0.5442493, 1.1434564, 0.7443083)]),
+        ("SP", [(0.1687144, 1.0, 1.0)]),
+    ],
+    "N": [
+        ("S", [(4173.5110, 0.0018348), (627.45790, 0.0139950),
+               (142.90210, 0.0685870), (40.234330, 0.2322410),
+               (12.820210, 0.4690700), (4.3904370, 0.3604550)]),
+        ("SP", [(11.626358, -0.1149610, 0.0675800),
+                (2.7162800, -0.1691180, 0.3239070),
+                (0.7722180, 1.1458520, 0.7408950)]),
+        ("SP", [(0.2120313, 1.0, 1.0)]),
+    ],
+    "O": [
+        ("S", [(5484.6717, 0.0018311), (825.23495, 0.0139501),
+               (188.04696, 0.0684451), (52.964500, 0.2327143),
+               (16.897570, 0.4701930), (5.7996353, 0.3585209)]),
+        ("SP", [(15.539616, -0.1107775, 0.0708743),
+                (3.5999336, -0.1480263, 0.3397528),
+                (1.0137618, 1.1307670, 0.7271586)]),
+        ("SP", [(0.2700058, 1.0, 1.0)]),
+    ],
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class Shell:
+    """A contracted Cartesian Gaussian shell on one center."""
+
+    center: Tuple[float, float, float]
+    angmom: int  # 0 = s, 1 = p
+    exps: Tuple[float, ...]
+    coefs: Tuple[float, ...]  # contraction coefficients (unnormalized input)
+    atom_index: int
+
+    @property
+    def n_functions(self) -> int:
+        l = self.angmom
+        return (l + 1) * (l + 2) // 2
+
+    def cartesian_powers(self) -> List[Tuple[int, int, int]]:
+        l = self.angmom
+        out = []
+        for i in range(l, -1, -1):
+            for j in range(l - i, -1, -1):
+                out.append((i, j, l - i - j))
+        return out
+
+
+def _sto3g_shells(element: str) -> List[Tuple[str, list]]:
+    z1, z2 = _STO3G_ZETA[element]
+    shells = [
+        ("S", [(a * z1**2, c) for a, c in _STO3G_1S]),
+    ]
+    if z2 is not None:
+        shells.append((
+            "SP",
+            [
+                (a * z2**2, cs, cp)
+                for a, cs, cp in zip(
+                    _STO3G_2SP_EXP, _STO3G_2S_COEF, _STO3G_2P_COEF
+                )
+            ],
+        ))
+    return shells
+
+
+def _element_shell_data(element: str, basis: str):
+    basis = basis.lower().replace("-", "")
+    if basis == "sto3g":
+        return _sto3g_shells(element)
+    if basis == "631g":
+        if element in ("Li", "Be", "B", "F", "Ne"):
+            raise NotImplementedError(
+                f"6-31G data for {element} not embedded yet"
+            )
+        return _631G[element]
+    raise ValueError(f"Unknown basis: {basis}")
+
+
+def basis_for_atoms(
+    atoms: Sequence[Tuple[str, Tuple[float, float, float]]],
+    basis: str = "sto-3g",
+) -> List[Shell]:
+    """Build the shell list for atoms [(element, xyz_bohr), ...]."""
+    shells: List[Shell] = []
+    for atom_idx, (element, xyz) in enumerate(atoms):
+        for label, rows in _element_shell_data(element, basis):
+            exps = tuple(r[0] for r in rows)
+            if label == "S":
+                shells.append(Shell(tuple(xyz), 0, exps,
+                                    tuple(r[1] for r in rows), atom_idx))
+            elif label == "SP":
+                shells.append(Shell(tuple(xyz), 0, exps,
+                                    tuple(r[1] for r in rows), atom_idx))
+                shells.append(Shell(tuple(xyz), 1, exps,
+                                    tuple(r[2] for r in rows), atom_idx))
+            elif label == "P":
+                shells.append(Shell(tuple(xyz), 1, exps,
+                                    tuple(r[1] for r in rows), atom_idx))
+            else:
+                raise ValueError(label)
+    return shells
+
+
+def nuclear_repulsion(
+    atoms: Sequence[Tuple[str, Tuple[float, float, float]]]
+) -> float:
+    e = 0.0
+    for i in range(len(atoms)):
+        zi = ELEMENTS[atoms[i][0]]
+        ri = np.asarray(atoms[i][1], dtype=float)
+        for j in range(i + 1, len(atoms)):
+            zj = ELEMENTS[atoms[j][0]]
+            rj = np.asarray(atoms[j][1], dtype=float)
+            e += zi * zj / np.linalg.norm(ri - rj)
+    return float(e)
