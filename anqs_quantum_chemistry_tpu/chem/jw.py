@@ -1,0 +1,253 @@
+"""Jordan-Wigner transform to bit-mask Pauli form (vectorized numpy).
+
+The reference parses an OpenFermion QubitOperator into (weights, xy_masks,
+yz_masks) with a ``x i per Y`` weight convention (reference: nqs/nqs/
+stochastic/observables/pauli_observable.py:150-211). Here the transform is
+done from scratch and lands directly in the **XZ canonical form**: every Pauli
+string is written ``w * X^A Z^B`` (Y = i X Z absorbed), which makes all
+weights of a real Hamiltonian real and gives the matrix-element rule
+
+    <x ^ A | w X^A Z^B | x> = w * (-1)^popcount(x & B)
+
+with no complex phases anywhere -- the form the TPU local-energy engine
+consumes (a binary matmul for the signs; see observables/pauli.py).
+
+``A`` is the determinant-flip mask (the reference's xy mask) and ``B`` is the
+sign mask (the reference's yz mask).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from ..ops.bits import WORD_BITS, n_words
+
+
+@dataclasses.dataclass
+class PauliHamiltonian:
+    """Grouped Pauli-sum Hamiltonian in XZ canonical form.
+
+    Terms are sorted by flip mask A; ``group_starts`` is the CSR layout of
+    terms sharing each unique A (the reference's unq_xy grouping,
+    pauli_observable.py:110-148).
+    """
+
+    qubit_num: int
+    constant: float  # identity coefficient + nuclear repulsion
+    a_masks: np.ndarray  # (M, W) uint32 unique flip masks (A == xy)
+    b_words: np.ndarray  # (T, W) uint32 sign masks per term (B == yz)
+    weights: np.ndarray  # (T,) float64
+    group_starts: np.ndarray  # (M+1,) int64 CSR offsets into b_words/weights
+
+    @property
+    def n_groups(self) -> int:
+        return self.a_masks.shape[0]
+
+    @property
+    def n_terms(self) -> int:
+        return self.weights.shape[0]
+
+    def dense_matrix_element(self, x_bits: int, y_bits: int) -> float:
+        """Oracle <y|H|x> for tests (python ints)."""
+        flip = x_bits ^ y_bits
+        a_ints = words_to_ints(self.a_masks)
+        b_ints = words_to_ints(self.b_words)
+        val = self.constant if flip == 0 else 0.0
+        m = np.searchsorted(a_ints, flip)
+        if m < len(a_ints) and a_ints[m] == flip:
+            s, e = self.group_starts[m], self.group_starts[m + 1]
+            for t in range(s, e):
+                par = bin(x_bits & int(b_ints[t])).count("1") % 2
+                val += self.weights[t] * (-1.0 if par else 1.0)
+        return float(val)
+
+
+def ints_to_words(values: np.ndarray, qubit_num: int) -> np.ndarray:
+    """(N,) uint64/object ints -> (N, W) uint32 little-endian words."""
+    w = n_words(qubit_num)
+    values = np.asarray(values, dtype=np.uint64)
+    out = np.zeros((len(values), w), dtype=np.uint32)
+    for j in range(w):
+        out[:, j] = (values >> np.uint64(WORD_BITS * j)).astype(np.uint32)
+    return out
+
+
+def words_to_ints(words: np.ndarray) -> np.ndarray:
+    out = np.zeros(words.shape[0], dtype=np.uint64)
+    for j in range(words.shape[1]):
+        out |= words[:, j].astype(np.uint64) << np.uint64(WORD_BITS * j)
+    return out
+
+
+def _expand_ladder_products(
+    orbitals: np.ndarray, daggers: np.ndarray, coefs: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JW-expand ladder products a^(d1)_{o1} ... a^(dk)_{ok}.
+
+    ``orbitals``: (T, k) int, ``daggers``: (k,) bool (same pattern for the
+    whole batch), ``coefs``: (T,) float. Returns (A, B, w) arrays of length
+    T * 2^k with uint64 masks.
+
+    Derivation: a_o = Z_{<o} (X_o + i Y_o)/2 and a+_o the conjugate. In XZ
+    form, the X-choice contributes X_o Z_{<o} with factor 1/2 and the Y-choice
+    contributes X_o Z_{<=o} with factor -sigma/2 (sigma = +1 annihilation,
+    -1 creation), since i * sigma * i = -sigma. Products accumulate
+    (-1)^popcount(B & x_new) from commuting X^x past Z^B.
+    """
+    t_num, k = orbitals.shape
+    n_choice = 1 << k
+    o64 = orbitals.astype(np.uint64)
+    bit = np.uint64(1) << o64  # (T, k)
+    below = bit - np.uint64(1)  # Z-string mask below each orbital
+
+    a_acc = np.zeros((t_num, n_choice), dtype=np.uint64)
+    b_acc = np.zeros((t_num, n_choice), dtype=np.uint64)
+    w_acc = np.broadcast_to(
+        coefs[:, None] / (2.0**k), (t_num, n_choice)
+    ).copy()
+
+    choice_bits = (
+        (np.arange(n_choice)[None, :] >> np.arange(k)[:, None]) & 1
+    ).astype(bool)  # (k, n_choice)
+
+    for i in range(k):
+        use_y = choice_bits[i][None, :]  # (1, n_choice)
+        x_i = bit[:, i : i + 1]  # (T, 1)
+        z_i = np.where(use_y, below[:, i : i + 1] | x_i,
+                       below[:, i : i + 1])
+        sigma = -1.0 if daggers[i] else 1.0
+        w_acc = np.where(use_y, -sigma * w_acc, w_acc)
+        # Anticommutation: X^{x_i} moves past Z^{b_acc}.
+        crosses = ((b_acc >> o64[:, i : i + 1]) & np.uint64(1)).astype(bool)
+        w_acc = np.where(crosses, -w_acc, w_acc)
+        a_acc = a_acc ^ x_i
+        b_acc = b_acc ^ z_i
+
+    return a_acc.ravel(), b_acc.ravel(), w_acc.ravel()
+
+
+def jordan_wigner_pauli_hamiltonian(
+    h1: np.ndarray,
+    v: np.ndarray,
+    constant: float = 0.0,
+    tol: float = 1e-12,
+) -> PauliHamiltonian:
+    """Second-quantized H -> grouped Pauli form.
+
+    H = constant + sum h1[p,q] a+_p a_q
+        + 1/2 sum v[p,q,r,s] <pq|rs> a+_p a+_q a_s a_r.
+    """
+    n_so = h1.shape[0]
+    if n_so > 64:
+        raise NotImplementedError("JW masks limited to 64 qubits for now")
+
+    all_a, all_b, all_w = [], [], []
+
+    p_idx, q_idx = np.nonzero(np.abs(h1) > tol)
+    if len(p_idx):
+        a, b, w = _expand_ladder_products(
+            np.stack([p_idx, q_idx], axis=1),
+            np.array([True, False]),
+            h1[p_idx, q_idx],
+        )
+        all_a.append(a)
+        all_b.append(b)
+        all_w.append(w)
+
+    pq = np.nonzero(np.abs(v) > tol)
+    if len(pq[0]):
+        orbitals = np.stack([pq[0], pq[1], pq[3], pq[2]], axis=1)
+        # a+_p a+_q a_s a_r: operator order (p, q, s, r).
+        a, b, w = _expand_ladder_products(
+            orbitals,
+            np.array([True, True, False, False]),
+            0.5 * v[pq],
+        )
+        all_a.append(a)
+        all_b.append(b)
+        all_w.append(w)
+
+    a_all = np.concatenate(all_a) if all_a else np.zeros(0, np.uint64)
+    b_all = np.concatenate(all_b) if all_b else np.zeros(0, np.uint64)
+    w_all = np.concatenate(all_w) if all_w else np.zeros(0, np.float64)
+
+    # Merge duplicate (A, B) strings.
+    pair = np.stack([a_all, b_all], axis=1)
+    uniq, inverse = np.unique(pair, axis=0, return_inverse=True)
+    weights = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(weights, inverse, w_all)
+
+    keep = np.abs(weights) > tol
+    uniq = uniq[keep]
+    weights = weights[keep]
+
+    # Identity term -> constant.
+    is_id = (uniq[:, 0] == 0) & (uniq[:, 1] == 0)
+    const = constant + float(weights[is_id].sum())
+    uniq = uniq[~is_id]
+    weights = weights[~is_id]
+
+    # Sort by (A, B) and build the CSR grouping over unique A.
+    order = np.lexsort((uniq[:, 1], uniq[:, 0]))
+    uniq = uniq[order]
+    weights = weights[order]
+    a_sorted = uniq[:, 0]
+    unique_a, first = np.unique(a_sorted, return_index=True)
+    group_starts = np.concatenate([first, [len(a_sorted)]]).astype(np.int64)
+
+    return PauliHamiltonian(
+        qubit_num=n_so,
+        constant=const,
+        a_masks=ints_to_words(unique_a, n_so),
+        b_words=ints_to_words(uniq[:, 1], n_so),
+        weights=weights,
+        group_starts=group_starts,
+    )
+
+
+def z_string_symmetries(ham: PauliHamiltonian) -> np.ndarray:
+    """Z-string symmetry generators: GF(2) nullspace of the flip-mask matrix.
+
+    A Z-string Z^g commutes with every term iff popcount(g & A_m) is even for
+    all unique flip masks A_m; the generators are the nullspace over GF(2).
+    Replaces the reference's PennyLane RREF/kernel tapering-generator path
+    (reference: nqs/nqs/applications/quantum_chemistry/molecule.py:209-234).
+
+    Returns (G, qubit_num) 0/1 int8 rows, one per independent generator.
+    """
+    n = ham.qubit_num
+    a_ints = words_to_ints(ham.a_masks)
+    rows = np.zeros((len(a_ints), n), dtype=np.int8)
+    for j in range(n):
+        rows[:, j] = (a_ints >> np.uint64(j)).astype(np.uint64) & np.uint64(1)
+    # GF(2) RREF of rows; nullspace basis from free columns.
+    m = rows.copy() % 2
+    pivots = []
+    r = 0
+    for c in range(n):
+        pivot_rows = np.nonzero(m[r:, c])[0]
+        if len(pivot_rows) == 0:
+            continue
+        pr = r + pivot_rows[0]
+        m[[r, pr]] = m[[pr, r]]
+        elim = np.nonzero(m[:, c])[0]
+        for e in elim:
+            if e != r:
+                m[e] ^= m[r]
+        pivots.append(c)
+        r += 1
+        if r == m.shape[0]:
+            break
+    free = [c for c in range(n) if c not in pivots]
+    basis = []
+    for fc in free:
+        g = np.zeros(n, dtype=np.int8)
+        g[fc] = 1
+        for i, pc in enumerate(pivots):
+            if i < r and m[i, fc]:
+                g[pc] = 1
+        basis.append(g)
+    return np.array(basis, dtype=np.int8).reshape(len(basis), n)

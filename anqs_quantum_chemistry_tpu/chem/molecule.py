@@ -1,0 +1,208 @@
+"""Disk-cached molecule preparation: integrals -> RHF -> JW -> baselines.
+
+Standalone counterpart of the reference Molecule/MolecularData/run_pyscf stack
+(reference: nqs/nqs/applications/quantum_chemistry/molecule.py:102-435,
+molecular_data.py:21-329, run_pyscf.py:195-314), with the external
+PySCF/OpenFermion/PennyLane dependencies replaced by the in-tree chem modules.
+
+Everything expensive is cached to ``<mols_dir>/<name>/<hash>.npz``; nothing
+here is on the training hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..utils.config import Config
+from . import fci as fci_mod
+from .basis import basis_for_atoms, nuclear_repulsion, ELEMENTS
+from .geometry_repo import GEOMETRIES, MULTIPLICITIES, geometry_bohr
+from .integrals import compute_integrals_ao
+from .jw import (
+    PauliHamiltonian,
+    jordan_wigner_pauli_hamiltonian,
+    z_string_symmetries,
+)
+from .scf import mo_integrals, rhf, spin_orbital_integrals
+
+MAX_BF_FCI_QUBITS = 20  # same exact-diagonalization cutoff as the reference
+# (reference: molecular_data.py:83-89, max_fci_qubits=20)
+
+
+@dataclasses.dataclass
+class GeometryConfig(Config):
+    type: str = "carleo"
+    idx: int = 0
+    bond_length: Optional[float] = None  # angstrom, for dissociation curves
+
+
+@dataclasses.dataclass
+class MolConfig(Config):
+    name: str = "LiH"
+    basis: str = "sto-3g"
+    geometry: GeometryConfig = dataclasses.field(default_factory=GeometryConfig)
+    multiplicity: Optional[int] = None
+    charge: int = 0
+
+
+class Molecule:
+    """Everything the VMC stack needs to know about one molecule."""
+
+    def __init__(self, config: MolConfig, run_fci: bool = True,
+                 run_cisd: bool = True):
+        self.config = config
+        geom = GEOMETRIES[config.name]
+        if config.geometry.bond_length is not None:
+            from .geometry_repo import linear_geometry
+
+            geom = linear_geometry(config.name, config.geometry.bond_length)
+        self.atoms = geometry_bohr(geom)
+        self.multiplicity = config.multiplicity or MULTIPLICITIES.get(
+            config.name, 1
+        )
+        self.n_electrons = (
+            sum(ELEMENTS[el] for el, _ in self.atoms) - config.charge
+        )
+
+        shells = basis_for_atoms(self.atoms, config.basis)
+        ints = compute_integrals_ao(self.atoms, shells)
+        self.e_nuc = nuclear_repulsion(self.atoms)
+        h_core = ints["T"] + ints["V"]
+        scf_res = rhf(ints["S"], h_core, ints["ERI"], self.n_electrons,
+                      self.e_nuc)
+        if not scf_res["converged"]:
+            raise RuntimeError(f"RHF failed to converge for {config.name}")
+        self.hf_energy = scf_res["hf_energy"]
+        self.mo_energy = scf_res["mo_energy"]
+
+        h_mo, eri_mo = mo_integrals(h_core, ints["ERI"], scf_res["mo_coeff"])
+        self.h1, self.v = spin_orbital_integrals(h_mo, eri_mo)
+        self.n_orbitals = h_mo.shape[0]
+        self.qubit_num = 2 * self.n_orbitals
+
+        n_occ = scf_res["n_occ"]
+        self.n_alpha = (self.n_electrons + (self.multiplicity - 1)) // 2
+        self.n_beta = self.n_electrons - self.n_alpha
+        self.hf_det = sum(1 << (2 * o) for o in range(self.n_alpha)) | sum(
+            1 << (2 * o + 1) for o in range(self.n_beta)
+        )
+
+        self.qubit_ham: PauliHamiltonian = jordan_wigner_pauli_hamiltonian(
+            self.h1, self.v, constant=self.e_nuc
+        )
+
+        mo_energy_so = np.repeat(self.mo_energy, 2)
+        self.mp2_energy = self.hf_energy + fci_mod.mp2_energy(
+            self.h1, self.v, mo_energy_so, self.hf_det
+        )
+
+        self.cisd_energy = None
+        if run_cisd:
+            self.cisd_energy, _, _ = fci_mod.cisd_ground_state(
+                self.h1, self.v, self.hf_det, self.e_nuc
+            )
+            self.cisd_energy = float(self.cisd_energy)
+
+        self.fci_energy = None
+        self.fci_ipr = None
+        if run_fci and self.qubit_num <= MAX_BF_FCI_QUBITS:
+            e, _, _, ipr = fci_mod.fci_ground_state(
+                self.h1, self.v, self.n_alpha, self.n_beta, self.e_nuc
+            )
+            self.fci_energy = float(e)
+            self.fci_ipr = float(ipr)
+
+        self.z2_generators = z_string_symmetries(self.qubit_ham)
+
+    # ------------------------------------------------------------------
+    # Caching
+    # ------------------------------------------------------------------
+    _CACHE_KEYS = (
+        "e_nuc hf_energy mo_energy h1 v n_alpha n_beta hf_det qubit_num "
+        "mp2_energy z2_generators"
+    ).split()
+
+    @classmethod
+    def create(cls, config: MolConfig, mols_dir: str = "mols",
+               **kwargs) -> "Molecule":
+        """Load from cache or build and cache (reference: molecule.py:342-370)."""
+        cache_dir = os.path.join(mols_dir, config.name)
+        path = os.path.join(cache_dir, config.to_sha256_str()[:16] + ".npz")
+        if os.path.exists(path):
+            return cls._from_cache(config, path)
+        mol = cls(config, **kwargs)
+        os.makedirs(cache_dir, exist_ok=True)
+        mol._save_cache(path)
+        return mol
+
+    def _save_cache(self, path: str):
+        ham = self.qubit_ham
+        np.savez_compressed(
+            path,
+            e_nuc=self.e_nuc,
+            hf_energy=self.hf_energy,
+            mo_energy=self.mo_energy,
+            h1=self.h1,
+            v=self.v,
+            n_alpha=self.n_alpha,
+            n_beta=self.n_beta,
+            hf_det=np.array([self.hf_det], dtype=np.uint64),
+            qubit_num=self.qubit_num,
+            mp2_energy=self.mp2_energy,
+            cisd_energy=np.array(
+                [np.nan if self.cisd_energy is None else self.cisd_energy]
+            ),
+            fci_energy=np.array(
+                [np.nan if self.fci_energy is None else self.fci_energy]
+            ),
+            fci_ipr=np.array(
+                [np.nan if self.fci_ipr is None else self.fci_ipr]
+            ),
+            multiplicity=self.multiplicity,
+            n_electrons=self.n_electrons,
+            ham_constant=ham.constant,
+            ham_a_masks=ham.a_masks,
+            ham_b_words=ham.b_words,
+            ham_weights=ham.weights,
+            ham_group_starts=ham.group_starts,
+            z2_generators=self.z2_generators,
+        )
+
+    @classmethod
+    def _from_cache(cls, config: MolConfig, path: str) -> "Molecule":
+        data = np.load(path)
+        mol = cls.__new__(cls)
+        mol.config = config
+        mol.e_nuc = float(data["e_nuc"])
+        mol.hf_energy = float(data["hf_energy"])
+        mol.mo_energy = data["mo_energy"]
+        mol.h1 = data["h1"]
+        mol.v = data["v"]
+        mol.n_alpha = int(data["n_alpha"])
+        mol.n_beta = int(data["n_beta"])
+        mol.hf_det = int(data["hf_det"][0])
+        mol.qubit_num = int(data["qubit_num"])
+        mol.n_orbitals = mol.qubit_num // 2
+        mol.mp2_energy = float(data["mp2_energy"])
+        mol.multiplicity = int(data["multiplicity"])
+        mol.n_electrons = int(data["n_electrons"])
+        cisd = float(data["cisd_energy"][0])
+        mol.cisd_energy = None if np.isnan(cisd) else cisd
+        fci_e = float(data["fci_energy"][0])
+        mol.fci_energy = None if np.isnan(fci_e) else fci_e
+        ipr = float(data["fci_ipr"][0])
+        mol.fci_ipr = None if np.isnan(ipr) else ipr
+        mol.qubit_ham = PauliHamiltonian(
+            qubit_num=mol.qubit_num,
+            constant=float(data["ham_constant"]),
+            a_masks=data["ham_a_masks"],
+            b_words=data["ham_b_words"],
+            weights=data["ham_weights"],
+            group_starts=data["ham_group_starts"],
+        )
+        mol.z2_generators = data["z2_generators"]
+        return mol

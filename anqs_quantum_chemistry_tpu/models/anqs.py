@@ -1,0 +1,183 @@
+"""Autoregressive neural quantum state over qudits (functional core).
+
+TPU-native counterpart of the reference's AbstractANQS + LogAbsPhase/LogPsi
+heads (reference: nqs/nqs/stochastic/ansatzes/anqs/abstract_anqs.py:309-485,
+log_abs_phase_anqs.py:24-163, log_psi_anqs.py:14-59):
+
+* ``log_psi`` returns a real pair ``(log_abs, phase)`` instead of a complex
+  tensor -- complex dtypes are avoided on TPU entirely.
+* Conditional distributions come from one MADE forward per batch
+  (all qudits at once); NADE mode uses per-qudit subnets.
+* Symmetry masks are table lookups on the packed memo index (no acc-eig
+  tensors at runtime); masked slots get NEG, normalization is a masked
+  log-softmax of 2*log|psi| (reference normalise_cond_log,
+  abstract_anqs.py:392-405).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bits as bitops
+from ..symmetries.grouping import QubitGrouping
+from .made import MadeSpec, made_apply, made_init
+
+NEG = jnp.float32(-1e30)
+
+
+@dataclasses.dataclass(frozen=True)
+class AnqsConfig:
+    head_mode: str = "log_abs_phase"  # or "log_psi" (single 2-channel net)
+    de_mode: str = "MADE"  # or "NADE" (per-qudit subnets)
+    hidden_widths: Tuple[int, ...] = (512,)
+    aux_hidden_widths: Tuple[int, ...] = (512,)
+    activation: str = "tanh"
+    residual: bool = True
+    subtract_mean: bool = True
+    compute_dtype: str = "float32"
+    masking_mode: str = "masked"  # 'masked' (MU) or 'unmasked' (DU)
+
+
+class ANQS:
+    """Static model context; parameters live in a separate pytree."""
+
+    def __init__(self, grouping: QubitGrouping, config: AnqsConfig = None):
+        self.config = config or AnqsConfig()
+        self.grouping = grouping
+        self.qubit_num = grouping.qubit_num
+        self.n_words = bitops.n_words(self.qubit_num)
+        self.qudit_num = grouping.qudit_num
+        self.max_dim = grouping.max_qudit_dim
+        self.qudit_starts = grouping.qudit_starts
+        self.qudit_widths = grouping.qudit_widths
+
+        # Device-side symmetry tables (constants under jit).
+        self.trans_tables = jnp.asarray(grouping.trans_tables)  # (Q, S, D)
+        self.mask_tables = jnp.asarray(grouping.mask_tables)  # (Q, S, D)
+        self.start_memo_idx = int(grouping.start_memo_idx)
+
+        # Pad mask for the (possibly narrower) last qudit.
+        pad = np.zeros((self.qudit_num, self.max_dim), dtype=bool)
+        for q, dim in enumerate(grouping.qudit_dims):
+            pad[q, :dim] = True
+        self.pad_masks = jnp.asarray(pad)
+
+        n_ch = 2 if self.config.head_mode == "log_psi" else 1
+        spec_kwargs = dict(
+            qubit_num=self.qubit_num,
+            qudit_starts=grouping.qudit_starts,
+            qudit_ends=grouping.qudit_ends,
+            max_qudit_dim=self.max_dim,
+            activation=self.config.activation,
+            residual=self.config.residual,
+            compute_dtype=self.config.compute_dtype,
+        )
+        self.main_spec = MadeSpec(
+            hidden_widths=tuple(self.config.hidden_widths),
+            n_channels=n_ch,
+            **spec_kwargs,
+        )
+        self.aux_spec = (
+            MadeSpec(
+                hidden_widths=tuple(self.config.aux_hidden_widths),
+                n_channels=1,
+                **spec_kwargs,
+            )
+            if self.config.head_mode == "log_abs_phase"
+            else None
+        )
+
+    # ------------------------------------------------------------------
+    def init(self, key) -> Dict:
+        k1, k2 = jax.random.split(key)
+        params = {"main": made_init(self.main_spec, k1)}
+        if self.aux_spec is not None:
+            params["aux"] = made_init(self.aux_spec, k2)
+        return params
+
+    # ------------------------------------------------------------------
+    def _raw_heads(self, params, bits):
+        """bits (B, n) -> (log_abs_raw (B,Q,D), phase_raw (B,Q,D))."""
+        main = made_apply(self.main_spec, params["main"], bits)
+        if self.config.head_mode == "log_psi":
+            log_abs, phase = main[..., 0], main[..., 1]
+        else:
+            log_abs = main[..., 0]
+            phase = jnp.pi * made_apply(
+                self.aux_spec, params["aux"], bits
+            )[..., 0]
+        return log_abs, phase
+
+    def normalize_cond(self, cond, mask):
+        """Mask + normalize so sum_d exp(2*cond[d]) = 1 over valid slots."""
+        if self.config.subtract_mean:
+            cond = cond - jnp.mean(cond, axis=-1, keepdims=True)
+        cond = jnp.where(mask, cond, NEG)
+        norm = 0.5 * jax.nn.logsumexp(2.0 * cond, axis=-1, keepdims=True)
+        cond = cond - norm
+        return jnp.maximum(jnp.nan_to_num(cond, nan=NEG, neginf=NEG), NEG)
+
+    def memo_path(self, words):
+        """Packed states (B, W) -> per-qudit (memo_idx, mask) along the path.
+
+        Returns (memo_path (B, Q) int32, masks (B, Q, D) bool): the memo index
+        *entering* each qudit and the continuation mask at that point.
+        """
+        b = words.shape[0]
+        memo = jnp.full((b,), self.start_memo_idx, dtype=jnp.int32)
+        memos, masks = [], []
+        for q in range(self.qudit_num):
+            memos.append(memo)
+            masks.append(self.mask_tables[q][memo])
+            v = bitops.get_bit_range(
+                words, self.qudit_starts[q], self.qudit_widths[q]
+            )
+            memo = self.trans_tables[q][memo, v]
+        return jnp.stack(memos, 1), jnp.stack(masks, 1)
+
+    def qudit_values(self, words):
+        """(B, W) -> (B, Q) int32 qudit values."""
+        vals = [
+            bitops.get_bit_range(
+                words, self.qudit_starts[q], self.qudit_widths[q]
+            )
+            for q in range(self.qudit_num)
+        ]
+        return jnp.stack(vals, 1)
+
+    # ------------------------------------------------------------------
+    def log_psi(self, params, words) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Packed states (B, W) -> (log_abs (B,), phase (B,))."""
+        x = bitops.unpack(words, self.qubit_num, dtype=jnp.float32)
+        la_raw, ph_raw = self._raw_heads(params, x)
+        _, masks = self.memo_path(words)
+        if self.config.masking_mode == "unmasked":
+            masks = jnp.ones_like(masks)
+        masks = masks & self.pad_masks[None]
+        cond = self.normalize_cond(la_raw, masks)
+        vals = self.qudit_values(words)
+        la = jnp.take_along_axis(cond, vals[..., None], axis=-1)[..., 0]
+        ph = jnp.take_along_axis(ph_raw, vals[..., None], axis=-1)[..., 0]
+        return jnp.maximum(jnp.sum(la, -1), NEG), jnp.sum(ph, -1)
+
+    def amplitude(self, params, words):
+        """Complex amplitudes as a (re, im) pair of float32 arrays."""
+        la, ph = self.log_psi(params, words)
+        mag = jnp.exp(la)
+        return mag * jnp.cos(ph), mag * jnp.sin(ph)
+
+    def cond_for_qudit(self, params, words, q: int, mask):
+        """Masked+normalized conditional log-abs for qudit ``q``.
+
+        ``words`` hold the prefix (bits at qudits >= q are zero / ignored by
+        causality). Used by the samplers, which track the memo themselves.
+        """
+        x = bitops.unpack(words, self.qubit_num, dtype=jnp.float32)
+        la_raw, _ = self._raw_heads(params, x)
+        mask = mask & self.pad_masks[q][None]
+        return self.normalize_cond(la_raw[:, q], mask)

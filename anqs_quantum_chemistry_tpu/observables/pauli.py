@@ -1,0 +1,211 @@
+"""MXU-native local-energy engine for grouped Pauli Hamiltonians.
+
+Replaces the reference's CUDA-popcount + CSR-expand + scatter_add pipeline
+(reference: nqs/nqs/stochastic/observables/pauli_observable.py:240-487) with a
+dense formulation built around one insight:
+
+    sign(x, term) = (-1)^popcount(x & B_t) = (-1)^<bits(x), bits(B_t)>
+
+so the whole (batch x term) sign matrix is a binary matmul on the MXU:
+``P = bits(X) @ bits(B)^T; sign = 1 - 2*(P mod 2)``, and per-group matrix
+elements are one more matmul against the weight-folded group one-hot
+``G[t, m] = w_t * [group(t) == m]``:
+
+    ME = sign @ G            # (B, M) all <x^A_m|H|x> elements at once
+
+No scatters, no pointer chasing, no popcount kernels -- the two matmuls are
+exact (0/1 values, f32 accumulation, counts <= qubit_num << 2^24).
+
+Coupling discovery against the sampled set ("sample-aware" variational proxy,
+reference compute_var_local_energy_proxy, pauli_observable.py:396-487) is a
+sorted-membership lookup: x' = x XOR A_m for all (B, M) pairs, found via
+branchless binary search in the canonically sorted sample table. This
+sorted-join replaces all four reference coupling algorithms (ham /
+all_to_all / hamming_ball / trie) -- it computes the identical pair set with
+TPU-friendly static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..chem.jw import PauliHamiltonian
+from ..ops import bits as bitops
+from ..ops import keys
+
+
+class LocalEnergies(NamedTuple):
+    e_re: jnp.ndarray  # (B,)
+    e_im: jnp.ndarray  # (B,)
+    found_pairs: jnp.ndarray  # () int32: connected determinants found
+
+
+class PauliEngine:
+    """Device-resident Hamiltonian structure + local-energy kernels."""
+
+    def __init__(
+        self,
+        ham: PauliHamiltonian,
+        sign_dtype: str = "bfloat16",
+        me_chunk: Optional[int] = None,
+    ):
+        self.qubit_num = ham.qubit_num
+        self.constant = float(ham.constant)
+        self.n_groups = ham.n_groups
+        self.n_terms = ham.n_terms
+        self.me_chunk = me_chunk
+
+        self.a_words = jnp.asarray(ham.a_masks)  # (M, W) uint32
+
+        # Sign-matmul operand: bits of the B (yz) masks, (n, T).
+        b_bits = np.zeros((self.qubit_num, ham.n_terms), dtype=np.float32)
+        for t in range(ham.n_terms):
+            for j in range(self.qubit_num):
+                b_bits[j, t] = (ham.b_words[t, j // 32] >> (j % 32)) & 1
+        self.b_bits = jnp.asarray(b_bits, dtype=jnp.dtype(sign_dtype))
+        self.sign_dtype = jnp.dtype(sign_dtype)
+
+        # Weight-folded group one-hot (T, M) for the second matmul.
+        group_id = np.zeros(ham.n_terms, dtype=np.int64)
+        for m in range(ham.n_groups):
+            group_id[ham.group_starts[m] : ham.group_starts[m + 1]] = m
+        g = np.zeros((ham.n_terms, ham.n_groups), dtype=np.float32)
+        g[np.arange(ham.n_terms), group_id] = ham.weights.astype(np.float32)
+        self.group_weights = jnp.asarray(g)
+        self.group_id = jnp.asarray(group_id, dtype=jnp.int32)
+        self.weights = jnp.asarray(ham.weights, dtype=jnp.float32)
+
+    # ------------------------------------------------------------------
+    def matrix_elements(self, words) -> jnp.ndarray:
+        """(B, W) packed sources -> (B, M) elements <x ^ A_m | H | x>.
+
+        Group sums are symmetric under x <-> x^A for a real Hamiltonian, so
+        signs are evaluated on the source x only.
+        """
+        def chunk_me(w):
+            x_bits = bitops.unpack(w, self.qubit_num, dtype=jnp.float32)
+            p = jnp.dot(
+                x_bits.astype(self.sign_dtype),
+                self.b_bits,
+                preferred_element_type=jnp.float32,
+            )
+            sign = 1.0 - 2.0 * jnp.mod(p, 2.0)
+            return jnp.dot(
+                sign, self.group_weights,
+                preferred_element_type=jnp.float32,
+            )
+
+        if self.me_chunk is None or words.shape[0] <= self.me_chunk:
+            return chunk_me(words)
+        b = words.shape[0]
+        pad = (-b) % self.me_chunk
+        w = jnp.pad(words, ((0, pad), (0, 0)))
+        out = jax.lax.map(
+            chunk_me, w.reshape(-1, self.me_chunk, words.shape[1])
+        )
+        return out.reshape(-1, self.n_groups)[:b]
+
+    # ------------------------------------------------------------------
+    def local_energy_proxy(
+        self,
+        sorted_words,  # (B, W) canonically sorted samples
+        log_abs,  # (B,)
+        phase,  # (B,)
+        valid,  # (B,) bool; invalid rows must never match (see note)
+    ) -> LocalEnergies:
+        """Sample-aware local energies over the unique sampled set.
+
+        E_loc(x) = sum_m <x|H|x^A_m> psi(x^A_m)/psi(x) restricted to
+        x^A_m in the sampled set (+ the identity/constant term).
+
+        ``sorted_words`` rows for invalid entries must be sorted to a
+        sentinel region (e.g. all-ones words) so lookups cannot match them.
+        """
+        b, w = sorted_words.shape
+        m = self.a_words.shape[0]
+
+        xp = sorted_words[:, None, :] ^ self.a_words[None, :, :]  # (B, M, W)
+        idx, found = keys.searchsorted_words(
+            sorted_words, xp.reshape(b * m, w)
+        )
+        idx = idx.reshape(b, m)
+        found = found.reshape(b, m) & valid[:, None]
+
+        me = self.matrix_elements(sorted_words)  # (B, M)
+
+        safe_idx = jnp.clip(idx, 0, b - 1)
+        ratio = jnp.exp(
+            jnp.clip(log_abs[safe_idx] - log_abs[:, None], -60.0, 60.0)
+        )
+        dph = phase[safe_idx] - phase[:, None]
+        contrib = jnp.where(found, me * ratio, 0.0)
+        e_re = jnp.sum(contrib * jnp.cos(dph), axis=1) + self.constant
+        e_im = jnp.sum(contrib * jnp.sin(dph), axis=1)
+        e_re = jnp.where(valid, e_re, 0.0)
+        e_im = jnp.where(valid, e_im, 0.0)
+        return LocalEnergies(
+            e_re=e_re,
+            e_im=e_im,
+            found_pairs=jnp.sum(found & valid[:, None]),
+        )
+
+    # ------------------------------------------------------------------
+    def local_energy_full(
+        self,
+        anqs,
+        params,
+        words,  # (B, W) samples (need not be sorted)
+        log_abs,
+        phase,
+        valid,
+        amp_chunk: int = 4096,
+    ) -> LocalEnergies:
+        """Full local energies: evaluates psi at every connected x'.
+
+        The reference's 'full energy' path
+        (pauli_observable.py:992-1105) evaluates non-sampled connected
+        amplitudes in chunks; here all (B, M) connected states are evaluated
+        through the network via ``lax.map`` chunking.
+        """
+        b, w = words.shape
+        m = self.a_words.shape[0]
+        xp = (words[:, None, :] ^ self.a_words[None, :, :]).reshape(-1, w)
+
+        def chunk_logpsi(chunk):
+            return anqs.log_psi(params, chunk)
+
+        pad = (-xp.shape[0]) % amp_chunk
+        xp_pad = jnp.pad(xp, ((0, pad), (0, 0)))
+        la_p, ph_p = jax.lax.map(
+            chunk_logpsi, xp_pad.reshape(-1, amp_chunk, w)
+        )
+        la_p = la_p.reshape(-1)[: b * m].reshape(b, m)
+        ph_p = ph_p.reshape(-1)[: b * m].reshape(b, m)
+
+        me = self.matrix_elements(words)
+        ratio = jnp.exp(jnp.clip(la_p - log_abs[:, None], -60.0, 60.0))
+        dph = ph_p - phase[:, None]
+        e_re = jnp.sum(me * ratio * jnp.cos(dph), axis=1) + self.constant
+        e_im = jnp.sum(me * ratio * jnp.sin(dph), axis=1)
+        e_re = jnp.where(valid, e_re, 0.0)
+        e_im = jnp.where(valid, e_im, 0.0)
+        return LocalEnergies(
+            e_re=e_re, e_im=e_im,
+            found_pairs=jnp.asarray(b * m, jnp.int32),
+        )
+
+
+def mc_estimate(values_re, values_im, weights) -> Tuple:
+    """Weighted Monte-Carlo mean/variance (reference MonteCarloEstimator,
+    compute_local_energies.py:47-62). ``weights`` must sum to 1 over valid
+    rows (invalid rows carry weight 0)."""
+    mean_re = jnp.sum(weights * values_re)
+    mean_im = jnp.sum(weights * values_im)
+    var = jnp.sum(
+        weights * ((values_re - mean_re) ** 2 + (values_im - mean_im) ** 2)
+    )
+    return mean_re, mean_im, var

@@ -1,0 +1,7 @@
+from .sampler import (
+    SamplerState,
+    gumbel_top_k_sample,
+    multinomial_sample,
+    SamplingConfig,
+    sample,
+)

@@ -1,0 +1,223 @@
+"""Fixed-capacity ancestral samplers: exact Gumbel top-k and multinomial.
+
+TPU-native redesign of the reference's dynamic-frontier samplers
+(reference: nqs/nqs/stochastic/ansatzes/anqs/abstract_anqs.py:494-818):
+instead of data-dependent frontier tensors, a capacity-K frontier (K =
+sample_num) advances one qudit per step under jit with static shapes; invalid
+rows ride along with NEG log-probabilities / zero counts.
+
+* ``gumbel_top_k_sample``: exact top-K unique determinants by propagating
+  conditional Gumbel maxima (the reference's sample_indices_gumbel,
+  abstract_anqs.py:676-818). Keeping the global top-K each step is exact --
+  the reference truncates identically.
+* ``multinomial_sample``: exact batch-multinomial occupation counts by
+  binomial bisection of the masked softmax (reference sample_mult_new_new,
+  abstract_anqs.py:557-591). Exact whenever the sampling budget <= K (counts
+  can spread over at most ``budget`` rows); with larger budgets the lowest-
+  count tail is dropped and reported as ``dropped``.
+
+Symmetry projection happens *during* sampling via the masker's per-qudit
+transition/mask tables -- every emitted determinant is physical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.anqs import ANQS, NEG
+from ..ops import bits as bitops
+
+
+class SamplerState(NamedTuple):
+    words: jnp.ndarray  # (K, W) uint32
+    memo: jnp.ndarray  # (K,) int32
+
+
+class GumbelSample(NamedTuple):
+    words: jnp.ndarray  # (K, W)
+    log_probs: jnp.ndarray  # (K,) renormalized over the returned set
+    valid: jnp.ndarray  # (K,) bool
+
+
+class MultinomialSample(NamedTuple):
+    words: jnp.ndarray  # (K, W)
+    counts: jnp.ndarray  # (K,) int32
+    valid: jnp.ndarray  # (K,) bool
+    dropped: jnp.ndarray  # () int32: counts lost to capacity truncation
+
+
+def _log1mexp(x):
+    """log(1 - exp(x)) for x <= 0, stable at both ends."""
+    return jnp.where(
+        x > -0.693,
+        jnp.log(-jnp.expm1(jnp.minimum(x, -1e-20))),
+        jnp.log1p(-jnp.exp(x)),
+    )
+
+
+def _log1pexp(x):
+    return jnp.where(
+        x < 18.0,
+        jnp.log1p(jnp.exp(jnp.minimum(x, 18.0))),
+        x + jnp.exp(-jnp.maximum(x, 18.0)),
+    )
+
+
+def _gumbels_given_max(key, centers, maxes):
+    """Children Gumbels conditioned on their max being ``maxes``.
+
+    centers (K, D) = children log-probs; maxes (K,) = parent Gumbel.
+    (Kool et al. stochastic beams; reference sample_gumbels_given_max,
+    abstract_anqs.py:676-688.)
+    """
+    u = jax.random.uniform(
+        key, centers.shape, dtype=centers.dtype, minval=1e-38, maxval=1.0
+    )
+    g = centers - jnp.log(-jnp.log(u))
+    observed = jnp.max(g, axis=-1, keepdims=True)
+    v = maxes[:, None] - g + _log1mexp(g - observed)
+    cond = maxes[:, None] - jnp.maximum(v, 0.0) - _log1pexp(-jnp.abs(v))
+    return jnp.maximum(jnp.nan_to_num(cond, nan=NEG, neginf=NEG), NEG)
+
+
+def _expand_words(anqs: ANQS, words, parent_idx, cont, q: int):
+    new_words = words[parent_idx]
+    return bitops.set_bit_range(
+        new_words, anqs.qudit_starts[q], anqs.qudit_widths[q], cont
+    )
+
+
+def gumbel_top_k_sample(
+    anqs: ANQS, params, key, sample_num: int
+) -> GumbelSample:
+    """Exactly the ``sample_num`` distinct most-probable-by-Gumbel states."""
+    k_cap = sample_num
+    d = anqs.max_dim
+    words = jnp.zeros((k_cap, anqs.n_words), dtype=bitops.UINT)
+    memo = jnp.full((k_cap,), anqs.start_memo_idx, dtype=jnp.int32)
+    logp = jnp.full((k_cap,), NEG, dtype=jnp.float32).at[0].set(0.0)
+    gumbel = jnp.full((k_cap,), NEG, dtype=jnp.float32).at[0].set(0.0)
+
+    for q in range(anqs.qudit_num):
+        key, sub = jax.random.split(key)
+        mask = anqs.mask_tables[q][memo] & (logp > 0.5 * NEG)[:, None]
+        cond = anqs.cond_for_qudit(params, words, q, mask)
+        child_logp = jnp.maximum(logp[:, None] + 2.0 * cond, NEG)
+        child_gumbel = _gumbels_given_max(sub, child_logp, gumbel)
+        child_gumbel = jnp.where(child_logp > 0.5 * NEG, child_gumbel, NEG)
+
+        flat_g = child_gumbel.reshape(-1)
+        top_g, top_idx = jax.lax.top_k(flat_g, k_cap)
+        parent = top_idx // d
+        cont = (top_idx % d).astype(jnp.int32)
+        words = _expand_words(anqs, words, parent, cont, q)
+        memo = anqs.trans_tables[q][memo[parent], cont]
+        logp = child_logp.reshape(-1)[top_idx]
+        gumbel = top_g
+
+    valid = logp > 0.5 * NEG
+    norm = jax.nn.logsumexp(jnp.where(valid, logp, NEG))
+    log_probs = jnp.where(valid, logp - norm, NEG)
+    return GumbelSample(words=words, log_probs=log_probs, valid=valid)
+
+
+def _binomial_bisect(key, counts, probs, k_bits: int):
+    """Split integer ``counts`` (K,) over D=2**k_bits slots ~ multinomial."""
+    k_cap = counts.shape[0]
+    counts_l = counts[:, None].astype(jnp.float32)  # (K, 1)
+    blocks = probs[:, None, :]  # (K, blocks, block_size)
+    for level in range(k_bits):
+        key, sub = jax.random.split(key)
+        half = blocks.shape[-1] // 2
+        left, right = blocks[..., :half], blocks[..., half:]
+        pl = jnp.sum(left, axis=-1)
+        pr = jnp.sum(right, axis=-1)
+        ratio = jnp.nan_to_num(pl / jnp.maximum(pl + pr, 1e-38), nan=0.0)
+        n_left = jax.random.binomial(
+            sub, counts_l, ratio, dtype=jnp.float32
+        )
+        n_left = jnp.where(counts_l > 0, n_left, 0.0)
+        counts_l = jnp.stack([n_left, counts_l - n_left], axis=-1).reshape(
+            k_cap, -1
+        )
+        blocks = jnp.stack([left, right], axis=2).reshape(
+            k_cap, -1, half
+        )
+    return counts_l.astype(jnp.int32)  # (K, D)
+
+
+def multinomial_sample(
+    anqs: ANQS, params, key, sample_num: int, budget: Optional[int] = None
+) -> MultinomialSample:
+    """Occupation-count sampling with capacity K = sample_num."""
+    k_cap = sample_num
+    budget = int(budget if budget is not None else sample_num)
+    if budget > (1 << 24):
+        raise ValueError(
+            "multinomial budget > 2^24 loses exactness in float32 counts"
+        )
+    d = anqs.max_dim
+    k_bits = int(d).bit_length() - 1
+    words = jnp.zeros((k_cap, anqs.n_words), dtype=bitops.UINT)
+    memo = jnp.full((k_cap,), anqs.start_memo_idx, dtype=jnp.int32)
+    counts = jnp.zeros((k_cap,), dtype=jnp.int32).at[0].set(budget)
+    dropped = jnp.zeros((), dtype=jnp.int32)
+
+    for q in range(anqs.qudit_num):
+        key, sub = jax.random.split(key)
+        mask = anqs.mask_tables[q][memo] & (counts > 0)[:, None]
+        cond = anqs.cond_for_qudit(params, words, q, mask)
+        probs = jnp.exp(2.0 * jnp.maximum(cond, -40.0))
+        probs = jnp.where(mask & anqs.pad_masks[q][None], probs, 0.0)
+        child_counts = _binomial_bisect(sub, counts, probs, k_bits)
+        child_counts = jnp.where(
+            counts[:, None] > 0, child_counts, 0
+        ).reshape(-1)
+
+        top_c, top_idx = jax.lax.top_k(child_counts, k_cap)
+        dropped = dropped + jnp.sum(child_counts) - jnp.sum(top_c)
+        parent = top_idx // d
+        cont = (top_idx % d).astype(jnp.int32)
+        words = _expand_words(anqs, words, parent, cont, q)
+        memo = anqs.trans_tables[q][memo[parent], cont]
+        counts = top_c
+
+    return MultinomialSample(
+        words=words, counts=counts, valid=counts > 0, dropped=dropped
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Counterpart of the reference SamplingConfig
+    (reference: .../experiments/calculations/sample.py:8-50)."""
+
+    sample_num: int = 10000
+    mode: str = "gumbel"  # 'gumbel' (unique top-k) | 'multinomial'
+    budget: Optional[int] = None  # multinomial budget (defaults sample_num)
+
+
+def sample(anqs: ANQS, params, key, config: SamplingConfig):
+    """Unified entry: returns (words, weights, valid, stats dict).
+
+    ``weights`` are normalized frequencies: theoretical |psi|^2 renorm for
+    gumbel mode, empirical counts/budget for multinomial mode.
+    """
+    if config.mode == "gumbel":
+        out = gumbel_top_k_sample(anqs, params, key, config.sample_num)
+        weights = jnp.where(out.valid, jnp.exp(out.log_probs), 0.0)
+        stats = {"unique_num": jnp.sum(out.valid), "dropped": 0}
+        return out.words, weights, out.valid, stats
+    if config.mode == "multinomial":
+        out = multinomial_sample(
+            anqs, params, key, config.sample_num, config.budget
+        )
+        total = jnp.maximum(jnp.sum(out.counts), 1)
+        weights = out.counts.astype(jnp.float32) / total
+        stats = {"unique_num": jnp.sum(out.valid), "dropped": out.dropped}
+        return out.words, weights, out.valid, stats
+    raise ValueError(config.mode)

@@ -1,0 +1,120 @@
+"""Chemistry sidecar tests: integrals/RHF vs textbook values, JW vs
+Slater-Condon cross-checks (the physics-oracle strategy of SURVEY.md section
+4)."""
+
+import numpy as np
+import pytest
+
+from anqs_quantum_chemistry_tpu.chem import fci as fci_mod
+from anqs_quantum_chemistry_tpu.chem.basis import (
+    basis_for_atoms,
+    nuclear_repulsion,
+)
+from anqs_quantum_chemistry_tpu.chem.integrals import compute_integrals_ao
+from anqs_quantum_chemistry_tpu.chem.jw import (
+    jordan_wigner_pauli_hamiltonian,
+    words_to_ints,
+    z_string_symmetries,
+)
+from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+from anqs_quantum_chemistry_tpu.chem.scf import rhf
+
+
+@pytest.fixture(scope="module")
+def h2():
+    return Molecule(MolConfig(name="H2", basis="sto-3g"))
+
+
+@pytest.fixture(scope="module")
+def lih():
+    return Molecule(MolConfig(name="LiH", basis="sto-3g"))
+
+
+def test_atomic_rhf_textbook_values():
+    # Closed-shell atoms have exact published STO-3G RHF energies.
+    for el, ne, lit in [
+        ("He", 2, -2.807784),
+        ("Be", 4, -14.351880),
+        ("Ne", 10, -126.604525),
+    ]:
+        atoms = [(el, (0.0, 0.0, 0.0))]
+        shells = basis_for_atoms(atoms, "sto-3g")
+        ints = compute_integrals_ao(atoms, shells)
+        res = rhf(ints["S"], ints["T"] + ints["V"], ints["ERI"], ne, 0.0)
+        assert res["converged"]
+        assert abs(res["hf_energy"] - lit) < 2e-5, el
+
+
+def test_h2_energies(h2):
+    assert abs(h2.hf_energy - (-1.11668)) < 1e-4
+    assert abs(h2.fci_energy - (-1.13727)) < 1e-4
+    # CISD == FCI for 2 electrons.
+    assert abs(h2.cisd_energy - h2.fci_energy) < 1e-10
+    # MP2 between HF and FCI.
+    assert h2.fci_energy < h2.mp2_energy < h2.hf_energy
+
+
+def test_lih_energies(lih):
+    assert abs(lih.hf_energy - (-7.86203)) < 1e-4
+    assert abs(lih.fci_energy - (-7.88241)) < 1e-4
+    assert lih.fci_energy <= lih.cisd_energy < lih.hf_energy
+
+
+def test_h2o_energies():
+    mol = Molecule(MolConfig(name="H2O", basis="sto-3g"))
+    assert abs(mol.hf_energy - (-74.96302)) < 1e-4
+    assert mol.fci_energy < mol.cisd_energy < mol.mp2_energy < mol.hf_energy
+
+
+def test_jw_matches_slater_condon(h2, lih):
+    for mol, (na, nb) in [(h2, (1, 1)), (lih, (2, 2))]:
+        n_so = mol.qubit_num
+        dets = fci_mod.sector_determinants(n_so, na, nb)
+        if len(dets) > 50:
+            dets = dets[::5]
+        h_sc = fci_mod.sparse_hamiltonian(dets, mol.h1, mol.v).toarray()
+        h_jw = np.array(
+            [
+                [mol.qubit_ham.dense_matrix_element(x, y) for x in dets]
+                for y in dets
+            ]
+        )
+        np.testing.assert_allclose(
+            h_sc + np.eye(len(dets)) * mol.e_nuc, h_jw, atol=1e-12
+        )
+
+
+def test_hf_det_diagonal_matches_hf_energy(lih):
+    """<HF|H|HF> must equal the SCF energy (canonical orbitals)."""
+    e_diag = fci_mod.diagonal_energy(lih.hf_det, lih.h1, lih.v) + lih.e_nuc
+    assert abs(e_diag - lih.hf_energy) < 1e-9
+
+
+def test_z_string_symmetries_commute(lih):
+    ham = lih.qubit_ham
+    gens = z_string_symmetries(ham)
+    assert len(gens) >= 2  # at least alpha/beta parity for a real molecule
+    a_ints = words_to_ints(ham.a_masks)
+    for g in gens:
+        g_int = sum(1 << i for i in range(len(g)) if g[i])
+        overlaps = np.array(
+            [bin(int(a) & g_int).count("1") % 2 for a in a_ints]
+        )
+        assert not overlaps.any()
+    # HF determinant defines the sector eigenvalues; every FCI-support det
+    # must share them (symmetry of the ground state).
+    e, dets, coef, _ = fci_mod.fci_ground_state(
+        lih.h1, lih.v, lih.n_alpha, lih.n_beta, lih.e_nuc
+    )
+    big = np.abs(coef) > 1e-8
+    for g in gens:
+        g_int = sum(1 << i for i in range(len(g)) if g[i])
+        ref = bin(lih.hf_det & g_int).count("1") % 2
+        for d, keep in zip(dets, big):
+            if keep:
+                assert bin(d & g_int).count("1") % 2 == ref
+
+
+def test_nuclear_repulsion():
+    atoms = [("H", (0.0, 0.0, 0.0)), ("H", (0.0, 0.0, 2.0))]
+    assert abs(nuclear_repulsion(atoms) - 0.5) < 1e-12
