@@ -118,6 +118,16 @@ class Molecule:
 
         self.z2_generators = z_string_symmetries(self.qubit_ham)
 
+    @property
+    def fci_ndet(self) -> int:
+        """FCI determinant count in the (N_alpha, N_beta) sector (the
+        reference shells out to Psi4 for this, molecule.py:388-435)."""
+        import math
+
+        return math.comb(self.n_orbitals, self.n_alpha) * math.comb(
+            self.n_orbitals, self.n_beta
+        )
+
     # ------------------------------------------------------------------
     # Caching
     # ------------------------------------------------------------------

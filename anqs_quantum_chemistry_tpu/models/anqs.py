@@ -33,7 +33,7 @@ NEG = jnp.float32(-1e30)
 @dataclasses.dataclass(frozen=True)
 class AnqsConfig:
     head_mode: str = "log_abs_phase"  # or "log_psi" (single 2-channel net)
-    de_mode: str = "MADE"  # or "NADE" (per-qudit subnets)
+    net_type: str = "made"  # 'made' | 'nade' | 'transformer'
     hidden_widths: Tuple[int, ...] = (512,)
     aux_hidden_widths: Tuple[int, ...] = (512,)
     activation: str = "tanh"
@@ -41,6 +41,11 @@ class AnqsConfig:
     subtract_mean: bool = True
     compute_dtype: str = "float32"
     masking_mode: str = "masked"  # 'masked' (MU) or 'unmasked' (DU)
+    # transformer hyperparameters (net_type='transformer'):
+    d_model: int = 64
+    n_heads: int = 4
+    n_layers: int = 2
+    d_ff: int = 256
 
 
 class ANQS:
@@ -68,47 +73,101 @@ class ANQS:
         self.pad_masks = jnp.asarray(pad)
 
         n_ch = 2 if self.config.head_mode == "log_psi" else 1
-        spec_kwargs = dict(
+        base_kwargs = dict(
             qubit_num=self.qubit_num,
             qudit_starts=grouping.qudit_starts,
             qudit_ends=grouping.qudit_ends,
             max_qudit_dim=self.max_dim,
-            activation=self.config.activation,
-            residual=self.config.residual,
             compute_dtype=self.config.compute_dtype,
         )
-        self.main_spec = MadeSpec(
-            hidden_widths=tuple(self.config.hidden_widths),
-            n_channels=n_ch,
-            **spec_kwargs,
-        )
-        self.aux_spec = (
-            MadeSpec(
-                hidden_widths=tuple(self.config.aux_hidden_widths),
-                n_channels=1,
-                **spec_kwargs,
+        if self.config.net_type == "nade":
+            from .nade import NadeSpec, nade_apply, nade_init
+
+            nade_kwargs = dict(
+                activation=self.config.activation,
+                residual=self.config.residual,
+                **base_kwargs,
             )
-            if self.config.head_mode == "log_abs_phase"
-            else None
-        )
+            self.main_spec = NadeSpec(
+                hidden_widths=tuple(self.config.hidden_widths),
+                n_channels=n_ch,
+                **nade_kwargs,
+            )
+            self.aux_spec = (
+                NadeSpec(
+                    hidden_widths=tuple(self.config.aux_hidden_widths),
+                    n_channels=1,
+                    **nade_kwargs,
+                )
+                if self.config.head_mode == "log_abs_phase"
+                else None
+            )
+            self._net_init, self._net_apply = nade_init, nade_apply
+        elif self.config.net_type == "made":
+            mlp_kwargs = dict(
+                activation=self.config.activation,
+                residual=self.config.residual,
+                **base_kwargs,
+            )
+            self.main_spec = MadeSpec(
+                hidden_widths=tuple(self.config.hidden_widths),
+                n_channels=n_ch,
+                **mlp_kwargs,
+            )
+            self.aux_spec = (
+                MadeSpec(
+                    hidden_widths=tuple(self.config.aux_hidden_widths),
+                    n_channels=1,
+                    **mlp_kwargs,
+                )
+                if self.config.head_mode == "log_abs_phase"
+                else None
+            )
+            self._net_init, self._net_apply = made_init, made_apply
+        elif self.config.net_type == "transformer":
+            from .transformer import (
+                TransformerSpec,
+                transformer_apply,
+                transformer_init,
+            )
+
+            tf_kwargs = dict(
+                d_model=self.config.d_model,
+                n_heads=self.config.n_heads,
+                n_layers=self.config.n_layers,
+                d_ff=self.config.d_ff,
+                **base_kwargs,
+            )
+            self.main_spec = TransformerSpec(n_channels=n_ch, **tf_kwargs)
+            self.aux_spec = (
+                TransformerSpec(n_channels=1, **tf_kwargs)
+                if self.config.head_mode == "log_abs_phase"
+                else None
+            )
+            self._net_init, self._net_apply = (
+                transformer_init,
+                transformer_apply,
+            )
+        else:
+            raise ValueError(self.config.net_type)
 
     # ------------------------------------------------------------------
     def init(self, key) -> Dict:
         k1, k2 = jax.random.split(key)
-        params = {"main": made_init(self.main_spec, k1)}
+        params = {"main": self._net_init(self.main_spec, k1)}
         if self.aux_spec is not None:
-            params["aux"] = made_init(self.aux_spec, k2)
+            params["aux"] = self._net_init(self.aux_spec, k2)
         return params
 
     # ------------------------------------------------------------------
     def _raw_heads(self, params, bits):
         """bits (B, n) -> (log_abs_raw (B,Q,D), phase_raw (B,Q,D))."""
-        main = made_apply(self.main_spec, params["main"], bits)
+        main = self._net_apply(self.main_spec, params["main"], bits)
         if self.config.head_mode == "log_psi":
             log_abs, phase = main[..., 0], main[..., 1]
         else:
             log_abs = main[..., 0]
-            phase = jnp.pi * made_apply(
+            phase = jnp.pi * self._net_apply(
                 self.aux_spec, params["aux"], bits
             )[..., 0]
         return log_abs, phase

@@ -52,12 +52,14 @@ class PauliEngine:
         ham: PauliHamiltonian,
         sign_dtype: str = "bfloat16",
         me_chunk: Optional[int] = None,
+        weights_matmul: str = "split",  # 'split' | 'highest' | 'fast'
     ):
         self.qubit_num = ham.qubit_num
         self.constant = float(ham.constant)
         self.n_groups = ham.n_groups
         self.n_terms = ham.n_terms
         self.me_chunk = me_chunk
+        self.weights_matmul = weights_matmul
 
         self.a_words = jnp.asarray(ham.a_masks)  # (M, W) uint32
 
@@ -76,6 +78,17 @@ class PauliEngine:
         g = np.zeros((ham.n_terms, ham.n_groups), dtype=np.float32)
         g[np.arange(ham.n_terms), group_id] = ham.weights.astype(np.float32)
         self.group_weights = jnp.asarray(g)
+        # Split-weight decomposition: G = sum of 3 successive bf16 residual
+        # rounds, covering the full f32 mantissa. Default-precision MXU
+        # matmuls against the +-1 sign matrix then reproduce the f32 result
+        # exactly at half the cost of Precision.HIGHEST.
+        splits = []
+        residual = g.astype(np.float32)
+        for _ in range(3):  # 3 bf16 terms cover the full f32 mantissa
+            part = np.asarray(jnp.asarray(residual, jnp.bfloat16))
+            splits.append(jnp.asarray(part, jnp.bfloat16))
+            residual = residual - part.astype(np.float32)
+        self.group_weight_splits = tuple(splits)
         self.group_id = jnp.asarray(group_id, dtype=jnp.int32)
         self.weights = jnp.asarray(ham.weights, dtype=jnp.float32)
 
@@ -88,16 +101,48 @@ class PauliEngine:
         """
         def chunk_me(w):
             x_bits = bitops.unpack(w, self.qubit_num, dtype=jnp.float32)
+            if self.weights_matmul == "pallas":
+                from ..ops.pallas_kernels import fused_matrix_elements
+
+                return fused_matrix_elements(
+                    x_bits.astype(jnp.bfloat16),
+                    self.b_bits.astype(jnp.bfloat16),
+                    self.group_weight_splits,
+                )
             p = jnp.dot(
                 x_bits.astype(self.sign_dtype),
                 self.b_bits,
                 preferred_element_type=jnp.float32,
             )
             sign = 1.0 - 2.0 * jnp.mod(p, 2.0)
-            return jnp.dot(
-                sign, self.group_weights,
-                preferred_element_type=jnp.float32,
-            )
+            # The default TPU matmul multiplies f32 operands in bfloat16,
+            # which costs ~1e-3 relative error on the weight sums --
+            # unacceptable for Hartree-scale energies. The sign matmul above
+            # is exact at any precision (0/1 operands, integer-valued f32
+            # accumulation); the weights matmul needs one of:
+            if self.weights_matmul == "highest":
+                return jnp.dot(
+                    sign, self.group_weights,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            if self.weights_matmul == "fast":
+                return jnp.dot(
+                    sign, self.group_weights,
+                    preferred_element_type=jnp.float32,
+                )
+            # 'split': three bf16 matmuls reconstruct the f32 weights to
+            # full mantissa against a +-1 left operand (bf16 products with
+            # +-1 are exact; residual splits carry the low bits). Half the
+            # cost of Precision.HIGHEST at the same accuracy.
+            sign_b = sign.astype(jnp.bfloat16)
+            me = None
+            for part in self.group_weight_splits:
+                term = jnp.dot(
+                    sign_b, part, preferred_element_type=jnp.float32
+                )
+                me = term if me is None else me + term
+            return me
 
         if self.me_chunk is None or words.shape[0] <= self.me_chunk:
             return chunk_me(words)

@@ -77,42 +77,38 @@ def sr_transform(
 
     eps = config.reg_eps
     sqrt_f = jnp.sqrt(f)[:, None]
-    # O = eps^-1 diag(sqrt f) conj(J), J = d log psi*/dtheta = J_la - i J_ph.
-    o_re = sqrt_f * j_la / eps
-    o_im = sqrt_f * j_ph / eps
+    # Natural scaling (no eps^-1 inside O): with O' = diag(sqrt f) conj(J),
+    # MinSR reads grad <- eps^-1 [g - O'^dag (eps I + O' O'^dag)^-1 O' g],
+    # algebraically identical to the reference form (sr.py:121-128) but
+    # numerically stable in float32 via an eigendecomposition of the tiny
+    # Hermitian S = O' O'^dag. (f64 linear algebra does not compile on this
+    # TPU toolchain: "Only F32 and C64 implemented in LuDecomposition".)
+    o_re = sqrt_f * j_la
+    o_im = sqrt_f * j_ph
 
-    # T = O O^dag (Hermitian k x k), in float64 for the solve.
-    t_re = (o_re @ o_re.T + o_im @ o_im.T).astype(jnp.float64)
-    t_im = (o_im @ o_re.T - o_re @ o_im.T).astype(jnp.float64)
+    s_re = o_re @ o_re.T + o_im @ o_im.T
+    s_im = o_im @ o_re.T - o_re @ o_im.T
+    og_re = o_re @ g
+    og_im = o_im @ g
 
-    og_re = (o_re @ g).astype(jnp.float64)
-    og_im = (o_im @ g).astype(jnp.float64)
-
-    if config.use_reg:
-        m_re = jnp.eye(k, dtype=jnp.float64) + eps * t_re
-        m_im = eps * t_im
-    else:
-        m_re, m_im = t_re, t_im
-    # Solve (m_re + i m_im) y = og via the real 2k x 2k block system.
-    block = jnp.block([[m_re, -m_im], [m_im, m_re]])
+    # Real symmetric 2k x 2k embedding of the Hermitian S.
+    block = jnp.block([[s_re, -s_im], [s_im, s_re]])
     rhs = jnp.concatenate([og_re, og_im])
-    y = jnp.linalg.solve(block, rhs)
-    y_re = y[:k].astype(jnp.float32)
-    y_im = y[k:].astype(jnp.float32)
+    lam, vec = jnp.linalg.eigh(block)
+    lam = jnp.maximum(lam, 0.0)
+    proj = vec.T @ rhs
+    if config.use_reg:
+        y = vec @ (proj / (lam + eps))
+    else:
+        # Unregularized pseudo-inverse form S^+ g (reference sr.py:129-134).
+        inv = jnp.where(lam > 1e-10 * jnp.max(lam), 1.0 / lam, 0.0)
+        y = vec @ (proj * inv)
+    y_re, y_im = y[:k], y[k:]
 
-    if not config.use_reg:
-        # Unregularized pseudo-inverse form S^+ g = O^dag (O O^dag)^-2 O g
-        # (reference sr.py:129-134 via soft SVD inverse): solve once more.
-        y2 = jnp.linalg.solve(
-            block, jnp.concatenate([y[:k], y[k:]])
-        )
-        y_re = y2[:k].astype(jnp.float32)
-        y_im = y2[k:].astype(jnp.float32)
-
-    # O^dag y = (O_re^T - i O_im^T)(y_re + i y_im); real part only.
+    # O'^dag y = (O_re^T - i O_im^T)(y_re + i y_im); real part only.
     ody_re = o_re.T @ y_re + o_im.T @ y_im
     if config.use_reg:
-        new_flat = g / eps - ody_re
+        new_flat = (g - ody_re) / eps
     else:
         new_flat = ody_re
     return unravel(new_flat)

@@ -137,9 +137,15 @@ def _binomial_bisect(key, counts, probs, k_bits: int):
         pl = jnp.sum(left, axis=-1)
         pr = jnp.sum(right, axis=-1)
         ratio = jnp.nan_to_num(pl / jnp.maximum(pl + pr, 1e-38), nan=0.0)
+        # Deterministic splits (p = 0 or 1) bypass the binomial sampler:
+        # jax.random.binomial mishandles the p == 1 edge (counts vanish).
+        safe_ratio = jnp.clip(ratio, 1e-7, 1.0 - 1e-7)
         n_left = jax.random.binomial(
-            sub, counts_l, ratio, dtype=jnp.float32
+            sub, counts_l, safe_ratio, dtype=jnp.float32
         )
+        n_left = jnp.nan_to_num(n_left, nan=0.0)
+        n_left = jnp.where(ratio >= 1.0 - 1e-9, counts_l, n_left)
+        n_left = jnp.where(ratio <= 1e-9, 0.0, n_left)
         n_left = jnp.where(counts_l > 0, n_left, 0.0)
         counts_l = jnp.stack([n_left, counts_l - n_left], axis=-1).reshape(
             k_cap, -1
@@ -154,19 +160,54 @@ def multinomial_sample(
     anqs: ANQS, params, key, sample_num: int, budget: Optional[int] = None
 ) -> MultinomialSample:
     """Occupation-count sampling with capacity K = sample_num."""
-    k_cap = sample_num
     budget = int(budget if budget is not None else sample_num)
     if budget > (1 << 24):
         raise ValueError(
             "multinomial budget > 2^24 loses exactness in float32 counts"
         )
+    return _multinomial_core(
+        anqs, params, key, sample_num, jnp.asarray(budget, jnp.int32)
+    )
+
+
+def sample_precisely(
+    anqs: ANQS,
+    params,
+    key,
+    sample_num: int,
+    target_unique: int,
+    max_budget: int = 1 << 24,
+    growth: float = 4.0,
+):
+    """Adaptive multinomial budget: rescale until >= target unique states.
+
+    Counterpart of the reference's ``sample_precisely`` loop
+    (reference: .../calculations/sample.py:62-75): the budget enters the
+    jitted sampler as a traced scalar, so every retry reuses one compiled
+    program. Returns (MultinomialSample, final_budget).
+    """
+    budget = sample_num
+
+    # The budget enters as a traced scalar so all retries share one program.
+    run = jax.jit(lambda p, k, b: _multinomial_core(anqs, p, k, sample_num, b))
+
+    while True:
+        key, sub = jax.random.split(key)
+        out = run(params, sub, jnp.asarray(budget, jnp.int32))
+        n_unique = int(jnp.sum(out.valid))
+        if n_unique >= min(target_unique, sample_num) or budget >= max_budget:
+            return out, budget
+        budget = min(int(budget * growth), max_budget)
+
+
+def _multinomial_core(anqs: ANQS, params, key, k_cap: int, budget):
+    """multinomial_sample body with a (possibly traced) budget scalar."""
     d = anqs.max_dim
     k_bits = int(d).bit_length() - 1
     words = jnp.zeros((k_cap, anqs.n_words), dtype=bitops.UINT)
     memo = jnp.full((k_cap,), anqs.start_memo_idx, dtype=jnp.int32)
     counts = jnp.zeros((k_cap,), dtype=jnp.int32).at[0].set(budget)
     dropped = jnp.zeros((), dtype=jnp.int32)
-
     for q in range(anqs.qudit_num):
         key, sub = jax.random.split(key)
         mask = anqs.mask_tables[q][memo] & (counts > 0)[:, None]
@@ -177,7 +218,6 @@ def multinomial_sample(
         child_counts = jnp.where(
             counts[:, None] > 0, child_counts, 0
         ).reshape(-1)
-
         top_c, top_idx = jax.lax.top_k(child_counts, k_cap)
         dropped = dropped + jnp.sum(child_counts) - jnp.sum(top_c)
         parent = top_idx // d
@@ -185,7 +225,6 @@ def multinomial_sample(
         words = _expand_words(anqs, words, parent, cont, q)
         memo = anqs.trans_tables[q][memo[parent], cont]
         counts = top_c
-
     return MultinomialSample(
         words=words, counts=counts, valid=counts > 0, dropped=dropped
     )

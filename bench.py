@@ -1,0 +1,80 @@
+"""Benchmark: connected-determinant local-energy throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: N2/STO-3G (20 qubits, 400 unique flip-mask groups), 8192 unique
+determinants per iteration, full jitted VMC step (Gumbel top-k sampling +
+amplitudes + sample-aware local energies + gradient + Adam). The metric
+counts *candidate* connected-determinant matrix-element evaluations
+(B x M per iteration -- every <x^A_m|H|x> is evaluated by the dense MXU
+pipeline) per second of wall time.
+
+Baseline: the reference publishes no numbers (BASELINE.md); its Colab toy
+run does ~0.36 s/iter on Li2O/STO-3G with 1e4 unique samples and ~1e2
+connected determinants found per sample => ~2.8e6 connected-det evals/sec on
+a Colab GPU. vs_baseline is measured against that estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main():
+    import jax
+
+    from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+    from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
+    from anqs_quantum_chemistry_tpu.models.anqs import AnqsConfig
+
+    sample_num = 8192
+    mol = Molecule.create(
+        MolConfig(name="N2", basis="sto-3g"),
+        mols_dir="mols",
+        run_fci=False,
+        run_cisd=False,
+    )
+    vmc = VMC(
+        mol,
+        VMCConfig(
+            sample_num=sample_num,
+            sampling_mode="gumbel",
+            qubit_per_qudit=5,
+            lr=1e-3,
+        ),
+        AnqsConfig(hidden_widths=(512,)),
+    )
+    params, opt_state, key = vmc.init_state()
+
+    # Warmup (compile + first execution).
+    for _ in range(2):
+        params, opt_state, key, metrics = vmc._step(params, opt_state, key)
+    jax.block_until_ready(metrics)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, key, metrics = vmc._step(params, opt_state, key)
+    jax.block_until_ready(metrics)
+    elapsed = time.perf_counter() - t0
+
+    candidates_per_iter = sample_num * mol.qubit_ham.n_groups
+    rate = candidates_per_iter * iters / elapsed
+
+    baseline = 2.8e6  # estimated reference GPU connected-det evals/sec
+    print(
+        json.dumps(
+            {
+                "metric": "connected-det local-energy evals/sec/chip "
+                "(N2 STO-3G, 8192 unique dets, full VMC step)",
+                "value": round(rate, 1),
+                "unit": "evals/sec",
+                "vs_baseline": round(rate / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""NADE and transformer ansatz variants: causality + masked normalization."""
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from anqs_quantum_chemistry_tpu.models import ANQS, AnqsConfig
+from anqs_quantum_chemistry_tpu.ops import bits as bitops
+from anqs_quantum_chemistry_tpu.symmetries import (
+    Masker,
+    QubitGrouping,
+    particle_number_symmetry,
+)
+
+
+def build(net_type, n=6):
+    masker = Masker([particle_number_symmetry(n, 3)])
+    grouping = QubitGrouping.create(masker, qubit_per_qudit=2)
+    cfg = AnqsConfig(
+        net_type=net_type,
+        hidden_widths=(16,),
+        aux_hidden_widths=(16,),
+        d_model=16,
+        n_heads=2,
+        n_layers=1,
+        d_ff=32,
+    )
+    anqs = ANQS(grouping, cfg)
+    params = anqs.init(jax.random.PRNGKey(0))
+    return masker, anqs, params
+
+
+def check_normalization(net_type):
+    n = 6
+    masker, anqs, params = build(net_type, n)
+    x = np.array(list(itertools.product([0, 1], repeat=n)), dtype=np.int64)[
+        :, ::-1
+    ]
+    words = bitops.pack(jnp.asarray(np.ascontiguousarray(x)))
+    la, _ = anqs.log_psi(params, words)
+    probs = np.exp(2 * np.asarray(la, np.float64))
+    phys = masker.is_physical(x)
+    assert probs[~phys].max() < 1e-20
+    np.testing.assert_allclose(probs[phys].sum(), 1.0, rtol=1e-3)
+
+    # Causality: conditional for qudit q must ignore bits at qudits >= q,
+    # so perturbing qudits >= 1 leaves outputs at qudits 0 and 1 unchanged.
+    la1, _ = anqs._raw_heads(params, jnp.asarray(x[:4], jnp.float32))
+    x2 = x[:4].copy()
+    x2[:, anqs.qudit_starts[1]:] ^= 1
+    la2, _ = anqs._raw_heads(params, jnp.asarray(x2, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(la1[:, :2]), np.asarray(la2[:, :2]), atol=2e-5
+    )
+
+
+def test_nade_normalization_and_causality():
+    check_normalization("nade")
+
+
+def test_transformer_normalization_and_causality():
+    check_normalization("transformer")

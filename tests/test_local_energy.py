@@ -1,0 +1,166 @@
+"""Local-energy engine vs exact dense <x|H|psi>/psi(x) oracles (SURVEY.md
+section 4 item d)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from anqs_quantum_chemistry_tpu.chem import fci as fci_mod
+from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+from anqs_quantum_chemistry_tpu.models import ANQS, AnqsConfig
+from anqs_quantum_chemistry_tpu.observables import PauliEngine, mc_estimate
+from anqs_quantum_chemistry_tpu.ops import bits as bitops
+from anqs_quantum_chemistry_tpu.ops import keys
+from anqs_quantum_chemistry_tpu.experiments.preparation import create_masker
+from anqs_quantum_chemistry_tpu.symmetries import QubitGrouping
+
+
+@pytest.fixture(scope="module")
+def lih_setup():
+    mol = Molecule.create(MolConfig(name="LiH", basis="sto-3g"),
+                          mols_dir="mols")
+    masker = create_masker(mol, "e_num_spin")
+    grouping = QubitGrouping.create(masker, qubit_per_qudit=3)
+    anqs = ANQS(grouping, AnqsConfig(hidden_widths=(64,)))
+    params = anqs.init(jax.random.PRNGKey(7))
+    engine = PauliEngine(mol.qubit_ham)
+    dets = fci_mod.sector_determinants(mol.qubit_num, 2, 2)
+    bits = np.array(
+        [[(d >> i) & 1 for i in range(mol.qubit_num)] for d in dets]
+    )
+    words = bitops.pack(jnp.asarray(bits))
+    return mol, anqs, params, engine, dets, words
+
+
+def test_matrix_elements_vs_oracle(lih_setup):
+    mol, anqs, params, engine, dets, words = lih_setup
+    me = np.asarray(engine.matrix_elements(words[:20]))
+    from anqs_quantum_chemistry_tpu.chem.jw import words_to_ints
+
+    a_ints = words_to_ints(mol.qubit_ham.a_masks)
+    for bi in range(20):
+        x = dets[bi]
+        for m in [0, 1, len(a_ints) // 2, len(a_ints) - 1]:
+            xp = x ^ int(a_ints[m])
+            expected = mol.qubit_ham.dense_matrix_element(x, xp)
+            if xp == x:
+                expected -= mol.qubit_ham.constant
+            np.testing.assert_allclose(
+                me[bi, m], expected, atol=2e-5,
+                err_msg=f"det {bi} group {m}",
+            )
+
+
+def test_local_energy_full_set_is_exact(lih_setup):
+    """With every physical det 'sampled', the proxy equals exact E_loc."""
+    mol, anqs, params, engine, dets, words = lih_setup
+    b = len(dets)
+    sorted_words, _ = keys.sort_words(words)
+    valid = jnp.ones((b,), bool)
+    la, ph = anqs.log_psi(params, sorted_words)
+    e = engine.local_energy_proxy(sorted_words, la, ph, valid)
+
+    # Oracle: dense H over the sector; psi from the model.
+    h = np.array(
+        [
+            [mol.qubit_ham.dense_matrix_element(x, y) for x in dets]
+            for y in dets
+        ]
+    )
+    la_np = np.asarray(la, np.float64)
+    ph_np = np.asarray(ph, np.float64)
+    # sorted_words order -> det values
+    sorted_bits = np.asarray(bitops.unpack(sorted_words, mol.qubit_num))
+    sorted_dets = [
+        int(sum(int(bb) << i for i, bb in enumerate(row)))
+        for row in sorted_bits
+    ]
+    det_pos = {d: i for i, d in enumerate(dets)}
+    perm = np.array([det_pos[d] for d in sorted_dets])
+    psi = np.exp(la_np) * np.exp(1j * ph_np)
+    h_perm = h[np.ix_(perm, perm)]
+    e_exact = (h_perm @ psi) / psi
+    np.testing.assert_allclose(
+        np.asarray(e.e_re), e_exact.real, rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(e.e_im), e_exact.imag, rtol=2e-4, atol=2e-4
+    )
+
+    # Rayleigh quotient check: weighted mean = <psi|H|psi>/<psi|psi>.
+    theor = np.exp(2 * la_np)
+    freqs = jnp.asarray(theor / theor.sum(), jnp.float32)
+    mean_re, mean_im, _ = mc_estimate(e.e_re, e.e_im, freqs)
+    rayleigh = (psi.conj() @ h_perm @ psi).real / (np.abs(psi) ** 2).sum()
+    np.testing.assert_allclose(float(mean_re), rayleigh, rtol=1e-4)
+    assert abs(float(mean_im)) < 1e-3
+    # Variational: above FCI energy.
+    assert rayleigh > mol.fci_energy - 1e-9
+
+
+def test_local_energy_subset_restriction(lih_setup):
+    """Proxy over a subset must equal the oracle restricted to the subset,
+    including sentinel handling for invalid rows."""
+    mol, anqs, params, engine, dets, words = lih_setup
+    rng = np.random.default_rng(3)
+    sel = np.sort(rng.choice(len(dets), size=64, replace=False))
+    sub_words = words[sel]
+    b = 80  # capacity 80 with 16 invalid rows
+    pad_words = jnp.concatenate(
+        [
+            sub_words,
+            jnp.full((b - 64, sub_words.shape[1]), bitops.UINT(0xFFFFFFFF)),
+        ]
+    )
+    valid = jnp.arange(b) < 64
+    sorted_words, _, valid_i = keys.sort_words(
+        pad_words, valid.astype(jnp.int32)
+    )
+    valid = valid_i.astype(bool)
+    la, ph = anqs.log_psi(params, sorted_words)
+    e = engine.local_energy_proxy(sorted_words, la, ph, valid)
+
+    sub_dets = [dets[i] for i in sel]
+    h = np.array(
+        [
+            [mol.qubit_ham.dense_matrix_element(x, y) for x in sub_dets]
+            for y in sub_dets
+        ]
+    )
+    sorted_bits = np.asarray(bitops.unpack(sorted_words, mol.qubit_num))
+    la_np = np.asarray(la, np.float64)
+    ph_np = np.asarray(ph, np.float64)
+    pos = {d: i for i, d in enumerate(sub_dets)}
+    v = np.asarray(valid)
+    for row in range(b):
+        if not v[row]:
+            assert np.asarray(e.e_re)[row] == 0.0
+            continue
+        d = int(
+            sum(int(bb) << i for i, bb in enumerate(sorted_bits[row]))
+        )
+        i = pos[d]
+        psi_sub = np.exp(la_np[v]) * np.exp(1j * ph_np[v])
+        # map sorted valid rows -> sub_dets order
+        order = [
+            pos[
+                int(
+                    sum(
+                        int(bb) << k
+                        for k, bb in enumerate(sorted_bits[r])
+                    )
+                )
+            ]
+            for r in range(b)
+            if v[r]
+        ]
+        h_rows = h[np.ix_(order, order)]
+        ridx = order.index(i)
+        # local row index of this det among valid sorted rows
+        local = [r for r in range(b) if v[r]].index(row)
+        e_exact = (h_rows[local] @ psi_sub) / psi_sub[local]
+        np.testing.assert_allclose(
+            np.asarray(e.e_re)[row], e_exact.real, rtol=3e-4, atol=3e-4
+        )
+        break  # one row suffices; the full-set test covers the rest
