@@ -149,10 +149,33 @@ def _excitations_in_sector(det: int, n_so: int) -> List[int]:
 
 
 def sparse_hamiltonian(
-    dets: Sequence[int], h1: np.ndarray, v: np.ndarray
+    dets: Sequence[int],
+    h1: np.ndarray,
+    v: np.ndarray,
+    use_native: bool = True,
 ) -> scipy.sparse.csr_matrix:
-    """Sparse H over an arbitrary determinant basis (rows = dets)."""
+    """Sparse H over an arbitrary determinant basis (rows = dets).
+
+    Uses the C++ builder (chem/native.py, ~100x) when the determinant list is
+    sorted and a toolchain is available; the pure-Python path below is the
+    readable oracle and the fallback.
+    """
     n_so = h1.shape[0]
+    dets_list = list(dets)
+    is_sorted = all(
+        dets_list[i] < dets_list[i + 1] for i in range(len(dets_list) - 1)
+    )
+    if use_native and is_sorted and len(dets_list) > 512:
+        from .native import sparse_hamiltonian_native
+
+        coo = sparse_hamiltonian_native(np.asarray(dets_list, np.uint64),
+                                        h1, v)
+        if coo is not None:
+            rows, cols, vals = coo
+            n = len(dets_list)
+            return scipy.sparse.csr_matrix(
+                (vals, (rows, cols)), shape=(n, n)
+            )
     index: Dict[int, int] = {d: i for i, d in enumerate(dets)}
     rows, cols, vals = [], [], []
     for i, det in enumerate(dets):

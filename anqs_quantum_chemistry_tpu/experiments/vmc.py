@@ -302,8 +302,14 @@ class VMC:
         on_iter=None,
         checkpoint_every: Optional[int] = 1000,
         resume_from: Optional[str] = None,
+        profile_iters: Optional[tuple] = None,
     ):
-        """Full training loop with CSV metrics; returns final state+history."""
+        """Full training loop with CSV metrics; returns final state+history.
+
+        ``profile_iters=(start, stop)`` captures a jax.profiler trace of those
+        iterations into ``<run_dir>/profile`` (the TPU-native upgrade over
+        the reference's wall-clock @timed decorators, SURVEY.md section 5.1).
+        """
         iter_num = iter_num or self.config.iter_num
         start_iter = 0
         if resume_from:
@@ -319,9 +325,16 @@ class VMC:
         best = {"energy": np.inf, "iter": -1}
         t0 = time.perf_counter()
         for it in range(start_iter, iter_num):
+            if profile_iters and it == profile_iters[0] and self.run_dir:
+                jax.profiler.start_trace(
+                    os.path.join(self.run_dir, "profile")
+                )
             params, opt_state, key, metrics = self._step(
                 params, opt_state, key
             )
+            if profile_iters and it == profile_iters[1]:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
             row = {k: float(v) for k, v in metrics.items()}
             row["iter_idx"] = it
             row["wall_time"] = time.perf_counter() - t0

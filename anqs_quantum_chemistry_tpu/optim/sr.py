@@ -91,18 +91,18 @@ def sr_transform(
     og_re = o_re @ g
     og_im = o_im @ g
 
-    # Real symmetric 2k x 2k embedding of the Hermitian S.
+    # Real symmetric 2k x 2k embedding of the Hermitian S, solved by f32 LU
+    # with Jacobi pre-scaling (f64 linalg and f32 eigh are unusable through
+    # this TPU toolchain: f64 LU unimplemented, eigh expansion compiles for
+    # >10 minutes). Pre-scaling keeps the condition number manageable for
+    # the f32 factorization.
     block = jnp.block([[s_re, -s_im], [s_im, s_re]])
+    reg = eps if config.use_reg else 1e-6 * jnp.max(jnp.diag(block))
+    m = block + reg * jnp.eye(2 * k, dtype=jnp.float32)
+    d = jax.lax.rsqrt(jnp.maximum(jnp.diag(m), 1e-30))
+    m_scaled = m * d[:, None] * d[None, :]
     rhs = jnp.concatenate([og_re, og_im])
-    lam, vec = jnp.linalg.eigh(block)
-    lam = jnp.maximum(lam, 0.0)
-    proj = vec.T @ rhs
-    if config.use_reg:
-        y = vec @ (proj / (lam + eps))
-    else:
-        # Unregularized pseudo-inverse form S^+ g (reference sr.py:129-134).
-        inv = jnp.where(lam > 1e-10 * jnp.max(lam), 1.0 / lam, 0.0)
-        y = vec @ (proj * inv)
+    y = d * jnp.linalg.solve(m_scaled, d * rhs)
     y_re, y_im = y[:k], y[k:]
 
     # O'^dag y = (O_re^T - i O_im^T)(y_re + i y_im); real part only.
