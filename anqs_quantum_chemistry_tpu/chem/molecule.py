@@ -107,6 +107,22 @@ class Molecule:
             )
             self.cisd_energy = float(self.cisd_energy)
 
+        self.ccsd_energy = None
+        self.ccsd_t_energy = None
+        if run_cisd:  # same gating as the other correlated baselines
+            from .cc import ccsd, ccsd_t_correction
+
+            e_cc, t1, t2, cc_info = ccsd(
+                self.h1, self.v, self.hf_det, self.e_nuc
+            )
+            if cc_info["converged"]:
+                self.ccsd_energy = float(e_cc)
+                self.ccsd_t_energy = float(
+                    e_cc + ccsd_t_correction(
+                        self.h1, self.v, self.hf_det, t1, t2
+                    )
+                )
+
         self.fci_energy = None
         self.fci_ipr = None
         if run_fci and self.qubit_num <= MAX_BF_FCI_QUBITS:
@@ -166,6 +182,16 @@ class Molecule:
             cisd_energy=np.array(
                 [np.nan if self.cisd_energy is None else self.cisd_energy]
             ),
+            ccsd_energy=np.array(
+                [np.nan if self.ccsd_energy is None else self.ccsd_energy]
+            ),
+            ccsd_t_energy=np.array(
+                [
+                    np.nan
+                    if self.ccsd_t_energy is None
+                    else self.ccsd_t_energy
+                ]
+            ),
             fci_energy=np.array(
                 [np.nan if self.fci_energy is None else self.fci_energy]
             ),
@@ -202,6 +228,9 @@ class Molecule:
         mol.n_electrons = int(data["n_electrons"])
         cisd = float(data["cisd_energy"][0])
         mol.cisd_energy = None if np.isnan(cisd) else cisd
+        for attr in ("ccsd_energy", "ccsd_t_energy"):
+            val = float(data[attr][0]) if attr in data else float("nan")
+            setattr(mol, attr, None if np.isnan(val) else val)
         fci_e = float(data["fci_energy"][0])
         mol.fci_energy = None if np.isnan(fci_e) else fci_e
         ipr = float(data["fci_ipr"][0])
