@@ -128,6 +128,30 @@ class VMC:
 
         self._step = jax.jit(self._step_impl)
         self._full_energy = jax.jit(self._full_energy_impl)
+        self._multi_step_cache = {}
+
+    def _multi_step(self, n_steps: int):
+        """One device dispatch running ``n_steps`` training steps via
+        lax.scan (amortizes per-dispatch latency -- ~0.4s through the TPU
+        tunnel here -- over many ms-scale steps). Returns stacked metrics."""
+        if n_steps not in self._multi_step_cache:
+
+            def body(state, _):
+                params, opt_state, key = state
+                params, opt_state, key, metrics = self._step_impl(
+                    params, opt_state, key
+                )
+                return (params, opt_state, key), metrics
+
+            @jax.jit
+            def run_n(params, opt_state, key):
+                (params, opt_state, key), metrics = jax.lax.scan(
+                    body, (params, opt_state, key), None, length=n_steps
+                )
+                return params, opt_state, key, metrics
+
+            self._multi_step_cache[n_steps] = run_n
+        return self._multi_step_cache[n_steps]
 
         # Packed reference determinant (HF) for the projected-energy metric.
         n = self.ham.qubit_num
@@ -303,6 +327,7 @@ class VMC:
         checkpoint_every: Optional[int] = 1000,
         resume_from: Optional[str] = None,
         profile_iters: Optional[tuple] = None,
+        steps_per_call: int = 1,
     ):
         """Full training loop with CSV metrics; returns final state+history.
 
@@ -324,31 +349,15 @@ class VMC:
         )
         best = {"energy": np.inf, "iter": -1}
         t0 = time.perf_counter()
-        for it in range(start_iter, iter_num):
-            if profile_iters and it == profile_iters[0] and self.run_dir:
-                jax.profiler.start_trace(
-                    os.path.join(self.run_dir, "profile")
-                )
-            params, opt_state, key, metrics = self._step(
-                params, opt_state, key
-            )
-            if profile_iters and it == profile_iters[1]:
-                jax.block_until_ready(metrics)
-                jax.profiler.stop_trace()
-            row = {k: float(v) for k, v in metrics.items()}
+
+        def handle_row(it, row, params, opt_state, key):
             row["iter_idx"] = it
             row["wall_time"] = time.perf_counter() - t0
-            row["full_energy"] = float("nan")
-            row["full_energy_var"] = float("nan")
-            period = self.config.full_energy_period
-            if period and it > 0 and it % period == 0:
-                key, sub = jax.random.split(key)
-                fe_re, fe_im, fe_var = self._full_energy(params, sub)
-                row["full_energy"] = float(fe_re)
-                row["full_energy_var"] = float(fe_var)
+            row.setdefault("full_energy", float("nan"))
+            row.setdefault("full_energy_var", float("nan"))
             history.append(row)
             if row["energy"] < best["energy"]:
-                best = {"energy": row["energy"], "iter": it}
+                best.update({"energy": row["energy"], "iter": it})
                 if self.run_dir:
                     np.save(
                         os.path.join(self.run_dir, "best_energy.npy"),
@@ -371,6 +380,46 @@ class VMC:
                 )
             if on_iter is not None:
                 on_iter(it, row)
+
+        it = start_iter
+        while it < iter_num:
+            if profile_iters and it >= profile_iters[0] and self.run_dir:
+                if it == profile_iters[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(self.run_dir, "profile")
+                    )
+            if steps_per_call > 1:
+                k_steps = min(steps_per_call, iter_num - it)
+                params, opt_state, key, stacked = self._multi_step(
+                    k_steps
+                )(params, opt_state, key)
+                stacked = {
+                    k: np.asarray(v) for k, v in stacked.items()
+                }
+                for j in range(k_steps):
+                    handle_row(
+                        it + j,
+                        {k: float(v[j]) for k, v in stacked.items()},
+                        params, opt_state, key,
+                    )
+                it += k_steps
+            else:
+                params, opt_state, key, metrics = self._step(
+                    params, opt_state, key
+                )
+                row = {k: float(v) for k, v in metrics.items()}
+                period = self.config.full_energy_period
+                if period and it > 0 and it % period == 0:
+                    key, sub = jax.random.split(key)
+                    fe_re, fe_im, fe_var = self._full_energy(params, sub)
+                    row["full_energy"] = float(fe_re)
+                    row["full_energy_var"] = float(fe_var)
+                handle_row(it, row, params, opt_state, key)
+                it += 1
+            if profile_iters and it > profile_iters[1] and self.run_dir:
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+                profile_iters = None
         return params, opt_state, history, best
 
 

@@ -49,11 +49,29 @@ class AnqsConfig:
 
 
 class ANQS:
-    """Static model context; parameters live in a separate pytree."""
+    """Static model context; parameters live in a separate pytree.
 
-    def __init__(self, grouping: QubitGrouping, config: AnqsConfig = None):
+    ``sign_structure``: optional fixed per-determinant phase table (values in
+    {0, pi}) of length 2**qubit_num (<= 24 qubits) that REPLACES the learned
+    phase -- the reference's ``use_sign_structure`` option
+    (reference: abstract_anqs.py:70-109, log_psi path :458-481).
+    """
+
+    def __init__(
+        self,
+        grouping: QubitGrouping,
+        config: AnqsConfig = None,
+        sign_structure=None,
+    ):
         self.config = config or AnqsConfig()
         self.grouping = grouping
+        self.sign_structure = None
+        if sign_structure is not None:
+            assert grouping.qubit_num <= 24
+            assert len(sign_structure) == 2**grouping.qubit_num
+            self.sign_structure = jnp.asarray(
+                sign_structure, dtype=jnp.float32
+            )
         self.qubit_num = grouping.qubit_num
         self.n_words = bitops.n_words(self.qubit_num)
         self.qudit_num = grouping.qudit_num
@@ -222,7 +240,13 @@ class ANQS:
         vals = self.qudit_values(words)
         la = jnp.take_along_axis(cond, vals[..., None], axis=-1)[..., 0]
         ph = jnp.take_along_axis(ph_raw, vals[..., None], axis=-1)[..., 0]
-        return jnp.maximum(jnp.sum(la, -1), NEG), jnp.sum(ph, -1)
+        phase = jnp.sum(ph, -1)
+        if self.sign_structure is not None:
+            flat = (
+                words[..., 0] & jnp.uint32(2**self.qubit_num - 1)
+            ).astype(jnp.int32)
+            phase = self.sign_structure[flat]
+        return jnp.maximum(jnp.sum(la, -1), NEG), phase
 
     def amplitude(self, params, words):
         """Complex amplitudes as a (re, im) pair of float32 arrays."""

@@ -35,19 +35,29 @@ def main():
         run_fci=False,
         run_cisd=False,
     )
+    from anqs_quantum_chemistry_tpu.optim.sr import SRConfig
+
+    # NOTE: keep this config identical to examples/n2_convergence.py so the
+    # two share one compiled program in the persistent cache (compiles cost
+    # tens of minutes through this environment's remote TPU toolchain).
     vmc = VMC(
         mol,
         VMCConfig(
             sample_num=sample_num,
             sampling_mode="gumbel",
             qubit_per_qudit=5,
-            lr=1e-3,
+            lr=1e-2,
+            sr=SRConfig(max_indices_num=50),
         ),
         AnqsConfig(hidden_widths=(512,)),
     )
     params, opt_state, key = vmc.init_state()
 
-    # Warmup (compile + first execution).
+    # Single-step dispatch: the lax.scan multi-step wrapper exists
+    # (VMC._multi_step) but its compile takes >90 min through this
+    # environment's remote TPU toolchain, so the bench stays on the
+    # reliably-cached single-step program. Per-dispatch tunnel latency
+    # (~0.4s) is therefore part of the measured number.
     for _ in range(2):
         params, opt_state, key, metrics = vmc._step(params, opt_state, key)
     jax.block_until_ready(metrics)

@@ -15,13 +15,15 @@ from anqs_quantum_chemistry_tpu.optim.sr import SRConfig
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    sample_num = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    sample_num = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
 
     mol = Molecule.create(MolConfig(name="N2", basis="sto-3g"),
                           mols_dir="mols")
     print(f"N2: HF {mol.hf_energy:.6f} CISD {mol.cisd_energy:.6f} "
           f"FCI {mol.fci_energy:.6f} ndet {mol.fci_ndet}")
 
+    # Config kept identical to bench.py (shared compile cache; compiles cost
+    # tens of minutes here). LR decay via resume + a second run if needed.
     vmc = VMC(
         mol,
         VMCConfig(
@@ -29,7 +31,6 @@ def main():
             sampling_mode="gumbel",
             qubit_per_qudit=5,
             lr=1e-2,
-            lr_schedule=((0, 1e-2), (4000, 5e-3), (10000, 2e-3)),
             sr=SRConfig(max_indices_num=50),
         ),
         AnqsConfig(hidden_widths=(512,)),
@@ -54,7 +55,8 @@ def main():
                   f"[{time.perf_counter() - t0:.0f}s]")
 
     params, opt_state, history, best = vmc.run(
-        iter_num=iters, on_iter=progress, checkpoint_every=5000
+        iter_num=iters, on_iter=progress, checkpoint_every=5000,
+        steps_per_call=25,  # matches bench.py so the compile cache is shared
     )
     gap = best["energy"] - mol.fci_energy
     print(f"best {best['energy']:.6f} at iter {best['iter']}; "
