@@ -17,12 +17,6 @@ from typing import Tuple
 import numpy as np
 
 
-def _spin_fock(h1: np.ndarray, v_anti: np.ndarray, occ) -> np.ndarray:
-    f = h1.copy()
-    f += np.einsum("piqi->pq", v_anti[:, occ][:, :, :, occ][:, :, :, :])
-    return f
-
-
 def ccsd(
     h1: np.ndarray,
     v: np.ndarray,

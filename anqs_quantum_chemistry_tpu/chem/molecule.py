@@ -147,11 +147,6 @@ class Molecule:
     # ------------------------------------------------------------------
     # Caching
     # ------------------------------------------------------------------
-    _CACHE_KEYS = (
-        "e_nuc hf_energy mo_energy h1 v n_alpha n_beta hf_det qubit_num "
-        "mp2_energy z2_generators"
-    ).split()
-
     @classmethod
     def create(cls, config: MolConfig, mols_dir: str = "mols",
                **kwargs) -> "Molecule":

@@ -130,6 +130,12 @@ class VMC:
         self._full_energy = jax.jit(self._full_energy_impl)
         self._multi_step_cache = {}
 
+        # Packed reference determinant (HF) for the projected-energy metric.
+        n = self.ham.qubit_num
+        ref = ref_det if ref_det is not None else 0
+        hf_bits = np.array([[(ref >> i) & 1 for i in range(n)]])
+        self.hf_words = bitops.pack(jnp.asarray(hf_bits))
+
     def _multi_step(self, n_steps: int):
         """One device dispatch running ``n_steps`` training steps via
         lax.scan (amortizes per-dispatch latency -- ~0.4s through the TPU
@@ -152,12 +158,6 @@ class VMC:
 
             self._multi_step_cache[n_steps] = run_n
         return self._multi_step_cache[n_steps]
-
-        # Packed reference determinant (HF) for the projected-energy metric.
-        n = self.ham.qubit_num
-        ref = ref_det if ref_det is not None else 0
-        hf_bits = np.array([[(ref >> i) & 1 for i in range(n)]])
-        self.hf_words = bitops.pack(jnp.asarray(hf_bits))
 
     # ------------------------------------------------------------------
     def init_state(self):

@@ -35,19 +35,17 @@ def main():
         run_fci=False,
         run_cisd=False,
     )
-    from anqs_quantum_chemistry_tpu.optim.sr import SRConfig
-
-    # NOTE: keep this config identical to examples/n2_convergence.py so the
-    # two share one compiled program in the persistent cache (compiles cost
-    # tens of minutes through this environment's remote TPU toolchain).
+    # NOTE: keep this exact config stable -- its TPU compile is cached in
+    # .jax_cache (cold compiles cost ~1h through this environment's remote
+    # TPU toolchain). SR is benchmarked separately; the connected-determinant
+    # throughput metric is dominated by sampling + local energies either way.
     vmc = VMC(
         mol,
         VMCConfig(
             sample_num=sample_num,
             sampling_mode="gumbel",
             qubit_per_qudit=5,
-            lr=1e-2,
-            sr=SRConfig(max_indices_num=50),
+            lr=1e-3,
         ),
         AnqsConfig(hidden_widths=(512,)),
     )
