@@ -55,6 +55,11 @@ class Molecule:
     def __init__(self, config: MolConfig, run_fci: bool = True,
                  run_cisd: bool = True):
         self.config = config
+        if config.name not in GEOMETRIES:
+            raise ValueError(
+                f"Unknown molecule '{config.name}'; available: "
+                f"{sorted(GEOMETRIES)}"
+            )
         geom = GEOMETRIES[config.name]
         if config.geometry.bond_length is not None:
             from .geometry_repo import linear_geometry
