@@ -1,6 +1,10 @@
-"""Test configuration: force CPU with 8 virtual devices (TPU-mesh analog).
+"""Test configuration: 8-virtual-device CPU jax (TPU-mesh analog).
 
-Must set env vars before jax initializes (see SURVEY.md section 4 item g).
+The heavy lifting (escaping the axon TPU plugin, which ignores
+``JAX_PLATFORMS=cpu`` once ``PALLAS_AXON_POOL_IPS`` is set) happens in
+``_pytest_env_bootstrap.py`` via pytest.ini's ``-p`` hook -- it re-execs the
+whole pytest process with a cleaned env BEFORE output capture starts. The
+setdefaults below cover environments without the axon vars.
 """
 
 import os
