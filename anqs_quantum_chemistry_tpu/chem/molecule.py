@@ -106,27 +106,10 @@ class Molecule:
         )
 
         self.cisd_energy = None
-        if run_cisd:
-            self.cisd_energy, _, _ = fci_mod.cisd_ground_state(
-                self.h1, self.v, self.hf_det, self.e_nuc
-            )
-            self.cisd_energy = float(self.cisd_energy)
-
         self.ccsd_energy = None
         self.ccsd_t_energy = None
-        if run_cisd:  # same gating as the other correlated baselines
-            from .cc import ccsd, ccsd_t_correction
-
-            e_cc, t1, t2, cc_info = ccsd(
-                self.h1, self.v, self.hf_det, self.e_nuc
-            )
-            if cc_info["converged"]:
-                self.ccsd_energy = float(e_cc)
-                self.ccsd_t_energy = float(
-                    e_cc + ccsd_t_correction(
-                        self.h1, self.v, self.hf_det, t1, t2
-                    )
-                )
+        if run_cisd:
+            self._compute_correlated_baselines()
 
         self.fci_energy = None
         self.fci_ipr = None
@@ -138,6 +121,25 @@ class Molecule:
             self.fci_ipr = float(ipr)
 
         self.z2_generators = z_string_symmetries(self.qubit_ham)
+
+    def _compute_correlated_baselines(self):
+        """CISD + CCSD(+T) ladder (reference run_pyscf.py:228-308)."""
+        from .cc import ccsd, ccsd_t_correction
+
+        cisd_e, _, _ = fci_mod.cisd_ground_state(
+            self.h1, self.v, self.hf_det, self.e_nuc
+        )
+        self.cisd_energy = float(cisd_e)
+        e_cc, t1, t2, cc_info = ccsd(
+            self.h1, self.v, self.hf_det, self.e_nuc
+        )
+        if cc_info["converged"]:
+            self.ccsd_energy = float(e_cc)
+            self.ccsd_t_energy = float(
+                e_cc + ccsd_t_correction(
+                    self.h1, self.v, self.hf_det, t1, t2
+                )
+            )
 
     @property
     def fci_ndet(self) -> int:
@@ -154,13 +156,37 @@ class Molecule:
     # ------------------------------------------------------------------
     @classmethod
     def create(cls, config: MolConfig, mols_dir: str = "mols",
-               **kwargs) -> "Molecule":
-        """Load from cache or build and cache (reference: molecule.py:342-370)."""
+               run_fci: bool = True, run_cisd: bool = True) -> "Molecule":
+        """Load from cache or build and cache (reference: molecule.py:342-370).
+
+        A cache written by a ``run_fci=False``/``run_cisd=False`` caller (e.g.
+        bench.py) stores NaN sentinels for the skipped baselines; when a later
+        caller *requests* them, the missing pieces are computed and the cache
+        upgraded in place rather than poisoning the caller with Nones.
+        """
         cache_dir = os.path.join(mols_dir, config.name)
         path = os.path.join(cache_dir, config.to_sha256_str()[:16] + ".npz")
         if os.path.exists(path):
-            return cls._from_cache(config, path)
-        mol = cls(config, **kwargs)
+            mol = cls._from_cache(config, path)
+            upgraded = False
+            if run_cisd and mol.cisd_energy is None:
+                mol._compute_correlated_baselines()
+                upgraded = True
+            if (
+                run_fci
+                and mol.fci_energy is None
+                and mol.qubit_num <= MAX_BF_FCI_QUBITS
+            ):
+                e, _, _, ipr = fci_mod.fci_ground_state(
+                    mol.h1, mol.v, mol.n_alpha, mol.n_beta, mol.e_nuc
+                )
+                mol.fci_energy = float(e)
+                mol.fci_ipr = float(ipr)
+                upgraded = True
+            if upgraded:
+                mol._save_cache(path)
+            return mol
+        mol = cls(config, run_fci=run_fci, run_cisd=run_cisd)
         os.makedirs(cache_dir, exist_ok=True)
         mol._save_cache(path)
         return mol

@@ -29,11 +29,19 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     src = os.path.join(_csrc_dir(), "slater_condon.cpp")
-    lib_path = os.path.join(_csrc_dir(), "libslater_condon.so")
+    # Build into a cache dir keyed by source content hash: mtimes are
+    # meaningless after a fresh clone and the binary is never checked in.
+    import hashlib
+
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.path.join(_csrc_dir(), os.pardir, ".cache")
+    lib_path = os.path.join(
+        os.path.abspath(cache_dir), f"libslater_condon_{tag}.so"
+    )
     try:
-        if not os.path.exists(lib_path) or os.path.getmtime(
-            lib_path
-        ) < os.path.getmtime(src):
+        os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+        if not os.path.exists(lib_path):
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, src],
                 check=True,

@@ -41,6 +41,16 @@ class AnqsConfig:
     subtract_mean: bool = True
     compute_dtype: str = "float32"
     masking_mode: str = "masked"  # 'masked' (MU) or 'unmasked' (DU)
+    # Spin-flip (alpha<->beta) symmetrization of the ansatz itself
+    # (reference SpinFlipSymmetryConfig, abstract_anqs.py:53-67; conditional
+    # coupling :320-326, phase coupling :466-474):
+    # ``spin_flip_abs`` averages each conditional log|psi| with the
+    # flip-transformed conditional of the flipped prefix, making
+    # |psi(flip x)| == |psi(x)| exactly; ``spin_flip_phase`` symmetrizes the
+    # global phase and adds the fermionic reordering sign pi*(n_open//2 % 2)
+    # on the non-canonical member of each {x, flip x} orbit.
+    spin_flip_abs: bool = False
+    spin_flip_phase: bool = False
     # transformer hyperparameters (net_type='transformer'):
     d_model: int = 64
     n_heads: int = 4
@@ -89,6 +99,30 @@ class ANQS:
         for q, dim in enumerate(grouping.qudit_dims):
             pad[q, :dim] = True
         self.pad_masks = jnp.asarray(pad)
+
+        # Device-side qudit geometry for lax.scan over qudits.
+        self.qudit_starts_arr = jnp.asarray(
+            grouping.qudit_starts, dtype=jnp.int32
+        )
+        self.max_width = int(max(grouping.qudit_widths))
+
+        self.spin_flip_abs = self.config.spin_flip_abs
+        self.spin_flip_phase = self.config.spin_flip_phase
+        if self.spin_flip_abs or self.spin_flip_phase:
+            assert sign_structure is None, (
+                "sign_structure replaces the learned phase; combining it "
+                "with spin-flip phase symmetrization is contradictory"
+            )
+            for s, w_ in zip(grouping.qudit_starts, grouping.qudit_widths):
+                assert s % 2 == 0 and w_ % 2 == 0, (
+                    "spin-flip symmetrization needs every qudit to hold "
+                    "whole (alpha, beta) spin-orbital pairs: use an even "
+                    "qubit_per_qudit"
+                )
+            # Local continuation index under the alpha<->beta bit-pair swap.
+            idx = np.arange(self.max_dim, dtype=np.int64)
+            flip_idx = ((idx & 0x55555555) << 1) | ((idx & 0xAAAAAAAA) >> 1)
+            self.sf_cont_idx = jnp.asarray(flip_idx, dtype=jnp.int32)
 
         n_ch = 2 if self.config.head_mode == "log_psi" else 1
         base_kwargs = dict(
@@ -178,18 +212,6 @@ class ANQS:
         return params
 
     # ------------------------------------------------------------------
-    def _raw_heads(self, params, bits):
-        """bits (B, n) -> (log_abs_raw (B,Q,D), phase_raw (B,Q,D))."""
-        main = self._net_apply(self.main_spec, params["main"], bits)
-        if self.config.head_mode == "log_psi":
-            log_abs, phase = main[..., 0], main[..., 1]
-        else:
-            log_abs = main[..., 0]
-            phase = jnp.pi * self._net_apply(
-                self.aux_spec, params["aux"], bits
-            )[..., 0]
-        return log_abs, phase
-
     def normalize_cond(self, cond, mask):
         """Mask + normalize so sum_d exp(2*cond[d]) = 1 over valid slots."""
         if self.config.subtract_mean:
@@ -230,8 +252,7 @@ class ANQS:
     # ------------------------------------------------------------------
     def log_psi(self, params, words) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Packed states (B, W) -> (log_abs (B,), phase (B,))."""
-        x = bitops.unpack(words, self.qubit_num, dtype=jnp.float32)
-        la_raw, ph_raw = self._raw_heads(params, x)
+        la_raw = self.main_log_abs_raw(params, words)
         _, masks = self.memo_path(words)
         if self.config.masking_mode == "unmasked":
             masks = jnp.ones_like(masks)
@@ -239,8 +260,30 @@ class ANQS:
         cond = self.normalize_cond(la_raw, masks)
         vals = self.qudit_values(words)
         la = jnp.take_along_axis(cond, vals[..., None], axis=-1)[..., 0]
+
+        ph_raw = self._phase_raw(params, words)
         ph = jnp.take_along_axis(ph_raw, vals[..., None], axis=-1)[..., 0]
         phase = jnp.sum(ph, -1)
+        if self.spin_flip_phase:
+            # Symmetrized phase + fermionic reordering sign on the
+            # non-canonical member of each {x, flip x} orbit (reference
+            # abstract_anqs.py:466-474): reversing the n_open open-shell
+            # electrons costs parity n_open*(n_open-1)/2 == n_open//2 (mod 2).
+            flipped = bitops.interleave_swap(words, self.qubit_num)
+            ph_raw_f = self._phase_raw(params, flipped)
+            vals_f = self.qudit_values(flipped)
+            ph_f = jnp.take_along_axis(
+                ph_raw_f, vals_f[..., None], axis=-1
+            )[..., 0]
+            phase_f = jnp.sum(ph_f, -1)
+            from ..ops import keys as _keys
+
+            n_diff = bitops.popcount(words ^ flipped)
+            pi_mult = ((n_diff // 4) % 2).astype(jnp.float32)
+            is_cano = ~_keys.lex_less(words, flipped)  # x >= flip(x)
+            phase = 0.5 * (phase + phase_f) + jnp.pi * jnp.where(
+                is_cano, 0.0, pi_mult
+            )
         if self.sign_structure is not None:
             flat = (
                 words[..., 0] & jnp.uint32(2**self.qubit_num - 1)
@@ -254,13 +297,52 @@ class ANQS:
         mag = jnp.exp(la)
         return mag * jnp.cos(ph), mag * jnp.sin(ph)
 
+    def main_log_abs_raw(self, params, words):
+        """Main-net conditionals only -- the sampler path skips the phase
+        net entirely (reference cond_log_abs, log_abs_phase_anqs.py:106-163).
+        Returns raw (B, Q, D) log-abs before masking/normalization.
+
+        With ``spin_flip_abs`` the conditional is averaged with the
+        flip-reindexed conditional of the spin-flipped prefix (reference
+        abstract_anqs.py:320-326): cond'(c|p) = (cond(c|p) +
+        cond(flip c|flip p)) / 2, which makes |psi| exactly flip-invariant.
+        """
+        x = bitops.unpack(words, self.qubit_num, dtype=jnp.float32)
+        la = self._net_apply(self.main_spec, params["main"], x)[..., 0]
+        if self.spin_flip_abs:
+            xf = bitops.unpack(
+                bitops.interleave_swap(words, self.qubit_num),
+                self.qubit_num,
+                dtype=jnp.float32,
+            )
+            la_f = self._net_apply(self.main_spec, params["main"], xf)[..., 0]
+            la = 0.5 * (la + jnp.take(la_f, self.sf_cont_idx, axis=-1))
+        return la
+
+    def _phase_raw(self, params, words):
+        """Raw per-continuation phases (B, Q, D) of ``words``."""
+        x = bitops.unpack(words, self.qubit_num, dtype=jnp.float32)
+        if self.config.head_mode == "log_psi":
+            return self._net_apply(self.main_spec, params["main"], x)[..., 1]
+        return jnp.pi * self._net_apply(
+            self.aux_spec, params["aux"], x
+        )[..., 0]
+
     def cond_for_qudit(self, params, words, q: int, mask):
         """Masked+normalized conditional log-abs for qudit ``q``.
 
         ``words`` hold the prefix (bits at qudits >= q are zero / ignored by
         causality). Used by the samplers, which track the memo themselves.
         """
-        x = bitops.unpack(words, self.qubit_num, dtype=jnp.float32)
-        la_raw, _ = self._raw_heads(params, x)
+        la_raw = self.main_log_abs_raw(params, words)
         mask = mask & self.pad_masks[q][None]
         return self.normalize_cond(la_raw[:, q], mask)
+
+    def cond_for_qudit_dyn(self, params, words, q, mask):
+        """``cond_for_qudit`` with a *traced* qudit index ``q`` -- the
+        lax.scan form used by the samplers (one traced network forward for
+        the whole ancestral loop instead of Q unrolled copies)."""
+        la_raw = self.main_log_abs_raw(params, words)
+        la_q = jnp.take(la_raw, q, axis=1)
+        pad_q = jnp.take(self.pad_masks, q, axis=0)
+        return self.normalize_cond(la_q, mask & pad_q[None])

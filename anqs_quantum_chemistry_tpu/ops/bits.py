@@ -112,6 +112,52 @@ def get_bit_range(words, start: int, width: int):
     return (lo & UINT((1 << width) - 1)).astype(jnp.int32)
 
 
+def set_bit_range_dyn(words, start, width: int, value):
+    """``set_bit_range`` with a *traced* ``start`` (int32 scalar).
+
+    Enables ``lax.scan`` over qudits in the samplers: the qudit's bit offset
+    comes from a device-side table instead of a Python int. ``width`` stays
+    static (the maximum qudit width); callers guarantee ``value < 2**width``
+    and that the target bits are currently zero.
+    """
+    assert width <= WORD_BITS
+    value = value.astype(UINT)
+    w0 = start // WORD_BITS
+    off = (start % WORD_BITS).astype(UINT)
+    lo = value << off
+    hi = jnp.where(
+        off == 0, UINT(0), value >> (UINT(WORD_BITS) - jnp.maximum(off, 1))
+    )
+    j = jnp.arange(words.shape[-1], dtype=jnp.int32)
+    return (
+        words
+        | jnp.where(j == w0, lo[..., None], UINT(0))
+        | jnp.where(j == w0 + 1, hi[..., None], UINT(0))
+    )
+
+
+def get_bit_range_dyn(words, start, width: int):
+    """``get_bit_range`` with a *traced* ``start`` (int32 scalar).
+
+    Bits beyond the last qubit are zero by construction, so reading a
+    narrower final qudit with the full static ``width`` is harmless.
+    """
+    assert width <= WORD_BITS
+    w0 = start // WORD_BITS
+    off = (start % WORD_BITS).astype(UINT)
+    j = jnp.arange(words.shape[-1], dtype=jnp.int32)
+    lo_word = jnp.sum(jnp.where(j == w0, words, UINT(0)), axis=-1)
+    hi_word = jnp.sum(jnp.where(j == w0 + 1, words, UINT(0)), axis=-1)
+    lo = lo_word >> off
+    hi = jnp.where(
+        off == 0, UINT(0), hi_word << (UINT(WORD_BITS) - jnp.maximum(off, 1))
+    )
+    v = lo | hi
+    if width < WORD_BITS:
+        v = v & UINT((1 << width) - 1)
+    return v.astype(jnp.int32)
+
+
 def interleave_swap(words, qubit_num: int):
     """Swap even/odd qubits (alpha <-> beta spin-orbitals) in packed form.
 

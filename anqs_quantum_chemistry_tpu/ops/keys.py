@@ -61,20 +61,39 @@ def searchsorted_words(sorted_words, queries):
 
     Returns ``(idx, found)``: ``idx`` is the insertion position (int32) and
     ``found`` marks exact matches. Branchless ``ceil(log2(B+1))`` iterations.
+
+    All table reads are per-word 1D gathers: a 2D row gather
+    ``sorted_words[mid]`` hits XLA:TPU's slow general-gather path (~1000x
+    slower than the 1D fast path -- measured 482 ms vs 0.03 ms for 4.4M
+    queries against an 8K table on v5e).
     """
-    b = sorted_words.shape[0]
+    b, w = sorted_words.shape
+    cols = tuple(sorted_words[:, j] for j in range(w))
+    qcols = tuple(queries[..., j] for j in range(w))
     q_shape = queries.shape[:-1]
     lo = jnp.zeros(q_shape, dtype=jnp.int32)
     hi = jnp.full(q_shape, b, dtype=jnp.int32)
+
+    def lex_cmp_at(pos):
+        """(keys[pos] < query, keys[pos] != query); 1D gathers per word."""
+        less = jnp.zeros(q_shape, dtype=bool)
+        decided = jnp.zeros(q_shape, dtype=bool)
+        for j in range(w - 1, -1, -1):
+            kj = cols[j][pos]
+            word_ne = kj != qcols[j]
+            less = jnp.where(~decided & word_ne, kj < qcols[j], less)
+            decided = decided | word_ne
+        return less, decided
+
     for _ in range(max(1, math.ceil(math.log2(b + 1)))):
         active = lo < hi
         mid = (lo + hi) >> 1
-        mid_keys = sorted_words[jnp.clip(mid, 0, b - 1)]
-        go_right = lex_less(mid_keys, queries)
+        go_right, _ = lex_cmp_at(jnp.clip(mid, 0, b - 1))
         lo = jnp.where(active & go_right, mid + 1, lo)
         hi = jnp.where(active & ~go_right, mid, hi)
     safe = jnp.clip(lo, 0, b - 1)
-    found = (lo < b) & lex_eq(sorted_words[safe], queries)
+    _, unequal = lex_cmp_at(safe)
+    found = (lo < b) & ~unequal
     return lo, found
 
 

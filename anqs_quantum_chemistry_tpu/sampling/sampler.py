@@ -84,17 +84,24 @@ def _gumbels_given_max(key, centers, maxes):
     return jnp.maximum(jnp.nan_to_num(cond, nan=NEG, neginf=NEG), NEG)
 
 
-def _expand_words(anqs: ANQS, words, parent_idx, cont, q: int):
+def _expand_words_dyn(anqs: ANQS, words, parent_idx, cont, q):
+    """Advance the frontier words: copy parents, write the continuation into
+    the (traced) qudit bit range."""
     new_words = words[parent_idx]
-    return bitops.set_bit_range(
-        new_words, anqs.qudit_starts[q], anqs.qudit_widths[q], cont
-    )
+    start = jnp.take(anqs.qudit_starts_arr, q)
+    return bitops.set_bit_range_dyn(new_words, start, anqs.max_width, cont)
 
 
 def gumbel_top_k_sample(
     anqs: ANQS, params, key, sample_num: int
 ) -> GumbelSample:
-    """Exactly the ``sample_num`` distinct most-probable-by-Gumbel states."""
+    """Exactly the ``sample_num`` distinct most-probable-by-Gumbel states.
+
+    The per-qudit ancestral loop is a ``lax.scan``: one traced network
+    forward + top_k serves all qudit steps, keeping the compiled program
+    size independent of qudit count (vs the reference's Python loop,
+    abstract_anqs.py:690-776).
+    """
     k_cap = sample_num
     d = anqs.max_dim
     words = jnp.zeros((k_cap, anqs.n_words), dtype=bitops.UINT)
@@ -102,22 +109,33 @@ def gumbel_top_k_sample(
     logp = jnp.full((k_cap,), NEG, dtype=jnp.float32).at[0].set(0.0)
     gumbel = jnp.full((k_cap,), NEG, dtype=jnp.float32).at[0].set(0.0)
 
-    for q in range(anqs.qudit_num):
-        key, sub = jax.random.split(key)
-        mask = anqs.mask_tables[q][memo] & (logp > 0.5 * NEG)[:, None]
-        cond = anqs.cond_for_qudit(params, words, q, mask)
+    def body(carry, xs):
+        words, memo, logp, gumbel = carry
+        q, sub = xs
+        mask_q = jnp.take(anqs.mask_tables, q, axis=0)  # (S, D)
+        trans_q = jnp.take(anqs.trans_tables, q, axis=0)  # (S, D)
+        mask = mask_q[memo] & (logp > 0.5 * NEG)[:, None]
+        cond = anqs.cond_for_qudit_dyn(params, words, q, mask)
         child_logp = jnp.maximum(logp[:, None] + 2.0 * cond, NEG)
         child_gumbel = _gumbels_given_max(sub, child_logp, gumbel)
         child_gumbel = jnp.where(child_logp > 0.5 * NEG, child_gumbel, NEG)
 
-        flat_g = child_gumbel.reshape(-1)
-        top_g, top_idx = jax.lax.top_k(flat_g, k_cap)
+        top_g, top_idx = jax.lax.top_k(child_gumbel.reshape(-1), k_cap)
         parent = top_idx // d
         cont = (top_idx % d).astype(jnp.int32)
-        words = _expand_words(anqs, words, parent, cont, q)
-        memo = anqs.trans_tables[q][memo[parent], cont]
+        words = _expand_words_dyn(anqs, words, parent, cont, q)
+        memo = trans_q[memo[parent], cont]
         logp = child_logp.reshape(-1)[top_idx]
-        gumbel = top_g
+        return (words, memo, logp, top_g), None
+
+    (words, memo, logp, gumbel), _ = jax.lax.scan(
+        body,
+        (words, memo, logp, gumbel),
+        (
+            jnp.arange(anqs.qudit_num, dtype=jnp.int32),
+            jax.random.split(key, anqs.qudit_num),
+        ),
+    )
 
     valid = logp > 0.5 * NEG
     norm = jax.nn.logsumexp(jnp.where(valid, logp, NEG))
@@ -201,30 +219,48 @@ def sample_precisely(
 
 
 def _multinomial_core(anqs: ANQS, params, key, k_cap: int, budget):
-    """multinomial_sample body with a (possibly traced) budget scalar."""
+    """multinomial_sample body with a (possibly traced) budget scalar.
+
+    lax.scan over qudits, like ``gumbel_top_k_sample``."""
     d = anqs.max_dim
     k_bits = int(d).bit_length() - 1
     words = jnp.zeros((k_cap, anqs.n_words), dtype=bitops.UINT)
     memo = jnp.full((k_cap,), anqs.start_memo_idx, dtype=jnp.int32)
     counts = jnp.zeros((k_cap,), dtype=jnp.int32).at[0].set(budget)
     dropped = jnp.zeros((), dtype=jnp.int32)
-    for q in range(anqs.qudit_num):
-        key, sub = jax.random.split(key)
-        mask = anqs.mask_tables[q][memo] & (counts > 0)[:, None]
-        cond = anqs.cond_for_qudit(params, words, q, mask)
+
+    def body(carry, xs):
+        words, memo, counts, dropped = carry
+        q, sub = xs
+        mask_q = jnp.take(anqs.mask_tables, q, axis=0)
+        trans_q = jnp.take(anqs.trans_tables, q, axis=0)
+        pad_q = jnp.take(anqs.pad_masks, q, axis=0)
+        mask = mask_q[memo] & (counts > 0)[:, None]
+        cond = anqs.cond_for_qudit_dyn(params, words, q, mask)
         probs = jnp.exp(2.0 * jnp.maximum(cond, -40.0))
-        probs = jnp.where(mask & anqs.pad_masks[q][None], probs, 0.0)
+        probs = jnp.where(mask & pad_q[None], probs, 0.0)
         child_counts = _binomial_bisect(sub, counts, probs, k_bits)
         child_counts = jnp.where(
             counts[:, None] > 0, child_counts, 0
         ).reshape(-1)
         top_c, top_idx = jax.lax.top_k(child_counts, k_cap)
-        dropped = dropped + jnp.sum(child_counts) - jnp.sum(top_c)
+        dropped = dropped + (
+            jnp.sum(child_counts) - jnp.sum(top_c)
+        ).astype(jnp.int32)
         parent = top_idx // d
         cont = (top_idx % d).astype(jnp.int32)
-        words = _expand_words(anqs, words, parent, cont, q)
-        memo = anqs.trans_tables[q][memo[parent], cont]
-        counts = top_c
+        words = _expand_words_dyn(anqs, words, parent, cont, q)
+        memo = trans_q[memo[parent], cont]
+        return (words, memo, top_c, dropped), None
+
+    (words, memo, counts, dropped), _ = jax.lax.scan(
+        body,
+        (words, memo, counts, dropped),
+        (
+            jnp.arange(anqs.qudit_num, dtype=jnp.int32),
+            jax.random.split(key, anqs.qudit_num),
+        ),
+    )
     return MultinomialSample(
         words=words, counts=counts, valid=counts > 0, dropped=dropped
     )
