@@ -55,11 +55,29 @@ class VMCConfig(Config):
     lr_schedule: Optional[tuple] = None
     sr: Optional[SRConfig] = None
     grad_clip_norm: Optional[float] = None
+    grad_renorm: bool = False  # grad <- grad/||grad|| (process_grad.py:66-70)
     full_energy_period: Optional[int] = None
     use_theor_freqs: bool = True  # Born |psi|^2 reweighting vs counts
     couple_spin_flip: bool = False  # close sample set under alpha<->beta
     seed: int = 0
     iter_num: int = 500
+    # Iteration-keyed config schedules (reference EnergyOptExpConfig
+    # opt/sampling/proc_grad schedules, energy_opt_exp.py:221-305,483-501):
+    # tuples of (start_iter, {field: value}) where the active entry is the
+    # last one with start_iter <= iter. Under jit a changed config value is
+    # a new compiled program, so entries are resolved per segment host-side
+    # and compiled steps are cached per distinct override set.
+    opt_schedule: Optional[tuple] = None  # fields: lr, grad_*, sr
+    sampling_schedule: Optional[tuple] = None  # sample_num, sampling_mode, ...
+    proc_grad_schedule: Optional[tuple] = None  # sr, grad_clip_norm, ...
+    # Initial-weights cache dir shared across runs with the same
+    # (ansatz config, seed) (reference energy_opt_exp.py:381-395).
+    init_weights_cache: Optional[str] = None
+    # Best-model checkpoint cascade: on a new best energy the full training
+    # state is checkpointed under <run_dir>/best_model plus each extra dir
+    # (reference exp/series/mol cascade, energy_opt_exp.py:414-481,648-675).
+    save_best_model: bool = False
+    extra_best_dirs: Tuple[str, ...] = ()
 
 
 class VMC:
@@ -99,9 +117,31 @@ class VMC:
             mode=self.config.sampling_mode,
             budget=self.config.multinomial_budget,
         )
+        self.opt = self._make_opt(self.config)
 
-        if self.config.lr_schedule:
-            entries = sorted(self.config.lr_schedule)
+        self.run_dir = run_dir
+        if run_dir:
+            os.makedirs(run_dir, exist_ok=True)
+            with open(os.path.join(run_dir, "config.json"), "w") as f:
+                f.write(self.config.to_json())
+
+        self._step_cache = {}
+        self._multi_step_cache = {}
+        self._full_energy_jit = None
+        self._step = jax.jit(self._step_impl)
+
+        # Packed reference determinant (HF) for the projected-energy metric.
+        n = self.ham.qubit_num
+        ref = ref_det if ref_det is not None else 0
+        hf_bits = np.array([[(ref >> i) & 1 for i in range(n)]])
+        self.hf_words = bitops.pack(jnp.asarray(hf_bits))
+
+    # ------------------------------------------------------------------
+    # Config schedules (host-resolved; one compiled program per segment)
+    # ------------------------------------------------------------------
+    def _make_opt(self, cfg: "VMCConfig"):
+        if cfg.lr_schedule:
+            entries = sorted(cfg.lr_schedule)
             lr = optax.piecewise_constant_schedule(
                 init_value=entries[0][1],
                 boundaries_and_scales={
@@ -112,69 +152,154 @@ class VMC:
                 },
             )
         else:
-            lr = self.config.lr
-        if self.config.opt_type == "adam":
-            self.opt = optax.adam(lr)
-        elif self.config.opt_type == "sgd":
-            self.opt = optax.sgd(lr)
-        else:
-            raise ValueError(self.config.opt_type)
+            lr = cfg.lr
+        if cfg.opt_type == "adam":
+            return optax.adam(lr)
+        if cfg.opt_type == "sgd":
+            return optax.sgd(lr)
+        raise ValueError(cfg.opt_type)
 
-        self.run_dir = run_dir
-        if run_dir:
-            os.makedirs(run_dir, exist_ok=True)
-            with open(os.path.join(run_dir, "config.json"), "w") as f:
-                f.write(self.config.to_json())
+    def _schedule_overrides(self, it: int) -> dict:
+        """Merged override dict active at iteration ``it`` across the three
+        schedules (reference resolves each by binary search every iteration,
+        energy_opt_exp.py:483-501; here a change of entry means a new
+        compiled program, so entries are plain {field: value} dicts)."""
+        ov = {}
+        for sched in (
+            self.config.opt_schedule,
+            self.config.sampling_schedule,
+            self.config.proc_grad_schedule,
+        ):
+            if not sched:
+                continue
+            active = None
+            for start, d in sorted(sched, key=lambda e: int(e[0])):
+                if int(start) <= it:
+                    active = d
+            if active:
+                ov.update(active)
+        return ov
 
-        self._step = jax.jit(self._step_impl)
-        self._full_energy = jax.jit(self._full_energy_impl)
-        self._multi_step_cache = {}
+    def _next_boundary(self, it: int) -> float:
+        nb = float("inf")
+        for sched in (
+            self.config.opt_schedule,
+            self.config.sampling_schedule,
+            self.config.proc_grad_schedule,
+        ):
+            if not sched:
+                continue
+            for start, _ in sched:
+                if int(start) > it:
+                    nb = min(nb, int(start))
+        return nb
 
-        # Packed reference determinant (HF) for the projected-energy metric.
-        n = self.ham.qubit_num
-        ref = ref_det if ref_det is not None else 0
-        hf_bits = np.array([[(ref >> i) & 1 for i in range(n)]])
-        self.hf_words = bitops.pack(jnp.asarray(hf_bits))
+    def _get_step(self, overrides: Optional[dict] = None):
+        """Jitted single-step program for the given config overrides."""
+        ov = dict(overrides or {})
+        key = json.dumps(ov, sort_keys=True, default=str)
+        if key not in self._step_cache:
+            eff = self.config.replace(**ov) if ov else self.config
+            samp = SamplingConfig(
+                sample_num=eff.sample_num,
+                mode=eff.sampling_mode,
+                budget=eff.multinomial_budget,
+            )
+            opt = self._make_opt(eff)
+            impl = self._make_step_impl(eff, samp, opt)
+            self._step_cache[key] = (jax.jit(impl), impl)
+        return self._step_cache[key][0]
 
-    def _multi_step(self, n_steps: int):
+    def _multi_step(self, n_steps: int, overrides: Optional[dict] = None):
         """One device dispatch running ``n_steps`` training steps via
-        lax.scan (amortizes per-dispatch latency -- ~0.4s through the TPU
-        tunnel here -- over many ms-scale steps). Returns stacked metrics."""
-        if n_steps not in self._multi_step_cache:
+        lax.scan (amortizes per-dispatch latency over many on-device
+        steps). Returns stacked metrics."""
+        ov = dict(overrides or {})
+        key = (n_steps, json.dumps(ov, sort_keys=True, default=str))
+        if key not in self._multi_step_cache:
+            self._get_step(ov)  # ensure impl exists
+            impl = self._step_cache[key[1]][1]
 
             def body(state, _):
-                params, opt_state, key = state
-                params, opt_state, key, metrics = self._step_impl(
-                    params, opt_state, key
+                params, opt_state, key_ = state
+                params, opt_state, key_, metrics = impl(
+                    params, opt_state, key_
                 )
-                return (params, opt_state, key), metrics
+                return (params, opt_state, key_), metrics
 
             @jax.jit
-            def run_n(params, opt_state, key):
-                (params, opt_state, key), metrics = jax.lax.scan(
-                    body, (params, opt_state, key), None, length=n_steps
+            def run_n(params, opt_state, key_):
+                (params, opt_state, key_), metrics = jax.lax.scan(
+                    body, (params, opt_state, key_), None, length=n_steps
                 )
-                return params, opt_state, key, metrics
+                return params, opt_state, key_, metrics
 
-            self._multi_step_cache[n_steps] = run_n
-        return self._multi_step_cache[n_steps]
+            self._multi_step_cache[key] = run_n
+        return self._multi_step_cache[key]
 
     # ------------------------------------------------------------------
     def init_state(self):
         key = jax.random.PRNGKey(self.config.seed)
         key, sub = jax.random.split(key)
-        params = self.anqs.init(sub)
+        params = self._init_params_cached(sub)
         opt_state = self.opt.init(params)
         return params, opt_state, key
 
+    def _init_params_cached(self, sub):
+        """Initial ansatz weights, cached per (ansatz config, grouping,
+        seed) so repeated/resumed runs share identical initialization
+        (reference energy_opt_exp.py:381-395)."""
+        params = self.anqs.init(sub)
+        cache_dir = self.config.init_weights_cache
+        if not cache_dir:
+            return params
+        import hashlib
+        from jax.flatten_util import ravel_pytree
+
+        sig = json.dumps(
+            [
+                dataclasses.asdict(self.anqs.config),
+                self.ham.qubit_num,
+                list(map(int, self.grouping.qudit_widths)),
+                self.config.seed,
+            ],
+            sort_keys=True,
+            default=str,
+        )
+        tag = hashlib.sha256(sig.encode()).hexdigest()[:16]
+        path = os.path.join(cache_dir, f"init_{tag}.npz")
+        flat, unravel = ravel_pytree(params)
+        if os.path.exists(path):
+            cached = np.load(path)["flat"]
+            if cached.shape == flat.shape:
+                return unravel(jnp.asarray(cached, flat.dtype))
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(path, flat=np.asarray(flat))
+        return params
+
     # ------------------------------------------------------------------
     def _step_impl(self, params, opt_state, key):
+        """Base-config step (kept for back-compat: bench/graft entry jit
+        this directly)."""
+        return self._make_step_impl(
+            self.config, self.sampling_config, self.opt
+        )(params, opt_state, key)
+
+    def _make_step_impl(self, cfg, sampling_config, opt):
+        def step_impl(params, opt_state, key):
+            return self._step_body(
+                params, opt_state, key, cfg, sampling_config, opt
+            )
+
+        return step_impl
+
+    def _step_body(self, params, opt_state, key, cfg, sampling_config, opt):
         key, sample_key = jax.random.split(key)
         words, weights, valid, stats = sample(
-            self.anqs, params, sample_key, self.sampling_config
+            self.anqs, params, sample_key, sampling_config
         )
 
-        if self.config.couple_spin_flip:
+        if cfg.couple_spin_flip:
             # Close the unique set under the global alpha<->beta spin flip
             # (reference: .../calculations/sample.py:88-99); duplicates are
             # removed after the canonical sort below.
@@ -191,7 +316,7 @@ class VMC:
             words, weights, valid.astype(jnp.int32)
         )
         valid = valid_i.astype(bool)
-        if self.config.couple_spin_flip:
+        if cfg.couple_spin_flip:
             valid = valid & keys.unique_mask(sorted_words)
 
         # Data-parallel sharding of the unique-determinant batch: amplitude
@@ -210,7 +335,7 @@ class VMC:
         # reference compute_local_energies.py:107-113); empirical counts
         # otherwise.
         theor = jnp.where(valid, jnp.exp(2.0 * la), 0.0)
-        if self.config.use_theor_freqs:
+        if cfg.use_theor_freqs:
             freqs = theor / jnp.maximum(jnp.sum(theor), 1e-30)
         else:
             freqs = weights / jnp.maximum(jnp.sum(weights), 1e-30)
@@ -227,15 +352,20 @@ class VMC:
 
         grads = jax.grad(loss_fn)(params)
 
-        if self.config.sr is not None:
+        if cfg.sr is not None:
             grads = sr_transform(
-                self.anqs, params, grads, sorted_words, freqs,
-                self.config.sr,
+                self.anqs, params, grads, sorted_words, freqs, cfg.sr,
             )
-        if self.config.grad_clip_norm is not None:
-            grads, _ = _clip(grads, self.config.grad_clip_norm)
+        if cfg.grad_clip_norm is not None:
+            grads, _ = _clip(grads, cfg.grad_clip_norm)
+        if cfg.grad_renorm:
+            # grad <- grad / ||grad|| (reference process_grad.py:66-70).
+            from jax.flatten_util import ravel_pytree
 
-        updates, opt_state = self.opt.update(grads, opt_state, params)
+            flat, unravel = ravel_pytree(grads)
+            grads = unravel(flat / jnp.maximum(jnp.linalg.norm(flat), 1e-30))
+
+        updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
         # HF-projected local energy: E_loc at the HF determinant.
@@ -259,26 +389,34 @@ class VMC:
             "max_log_abs": jnp.max(jnp.where(valid, la, -jnp.inf)),
             "ipr": jnp.sum(freqs**2),
         }
+        if cfg.full_energy_period:
+            # Hand the iterate's own sample (and its pre-update amplitudes)
+            # back to the host so the periodic full-energy measurement reuses
+            # it instead of re-sampling (reference computes both inside one
+            # compute_loss, energy_opt_exp.py:547-611).
+            aux = (sorted_words, la, ph, valid)
+            return params, opt_state, key, metrics, aux
         return params, opt_state, key, metrics
 
     # ------------------------------------------------------------------
-    def _full_energy_impl(self, params, key):
-        """Unbiased full local energies: every connected amplitude evaluated
-        through the network (reference's periodic full-energy measurement,
-        energy_opt_exp.py:568-575 -> pauli_observable.py:992-1105)."""
-        words, weights, valid, _ = sample(
-            self.anqs, params, key, self.sampling_config
-        )
-        sentinel = jnp.full_like(words, bitops.UINT(0xFFFFFFFF))
-        words = jnp.where(valid[:, None], words, sentinel)
-        la, ph = self.anqs.log_psi(params, words)
-        e = self.engine.local_energy_full(
-            self.anqs, params, words, la, ph, valid
-        )
-        theor = jnp.where(valid, jnp.exp(2.0 * la), 0.0)
-        freqs = theor / jnp.maximum(jnp.sum(theor), 1e-30)
-        mean_re, mean_im, var = mc_estimate(e.e_re, e.e_im, freqs)
-        return mean_re, mean_im, var
+    def _full_energy(self, params, words, la, ph, valid):
+        """Unbiased full local energies on a given sample: every connected
+        amplitude evaluated through the network (reference's periodic
+        full-energy measurement, energy_opt_exp.py:568-575 ->
+        pauli_observable.py:992-1105). ``params`` must be the pre-update
+        parameters that produced (la, ph)."""
+        if self._full_energy_jit is None:
+
+            def impl(params_, words_, la_, ph_, valid_):
+                e = self.engine.local_energy_full(
+                    self.anqs, params_, words_, la_, ph_, valid_
+                )
+                theor = jnp.where(valid_, jnp.exp(2.0 * la_), 0.0)
+                freqs = theor / jnp.maximum(jnp.sum(theor), 1e-30)
+                return mc_estimate(e.e_re, e.e_im, freqs)
+
+            self._full_energy_jit = jax.jit(impl)
+        return self._full_energy_jit(params, words, la, ph, valid)
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str, params, opt_state, key, it: int):
@@ -347,7 +485,27 @@ class VMC:
         csv_path = (
             os.path.join(self.run_dir, "result.csv") if self.run_dir else None
         )
-        best = {"energy": np.inf, "iter": -1}
+        best = {"energy": np.inf, "iter": -1, "last_save": -np.inf}
+
+        def save_best_model(params, opt_state, key, it):
+            """Best-model cascade, throttled to one save per 10 s
+            (reference saves at exp/series/mol scope on every new best,
+            energy_opt_exp.py:414-481,648-675)."""
+            now = time.perf_counter()
+            if now - best["last_save"] < 10.0:
+                return
+            best["last_save"] = now
+            dirs = []
+            if self.run_dir:
+                dirs.append(os.path.join(self.run_dir, "best_model"))
+            dirs.extend(self.config.extra_best_dirs)
+            for d in dirs:
+                self.save_checkpoint(d, params, opt_state, key, it)
+                np.save(
+                    os.path.join(d, "best_energy.npy"),
+                    np.array([best["energy"], best["iter"]]),
+                )
+
         t0 = time.perf_counter()
 
         def handle_row(it, row, params, opt_state, key):
@@ -363,6 +521,8 @@ class VMC:
                         os.path.join(self.run_dir, "best_energy.npy"),
                         np.array([best["energy"], best["iter"]]),
                     )
+                if self.config.save_best_model:
+                    save_best_model(params, opt_state, key, it)
             if csv_path:
                 write_header = not os.path.exists(csv_path)
                 with open(csv_path, "a") as f:
@@ -381,6 +541,8 @@ class VMC:
             if on_iter is not None:
                 on_iter(it, row)
 
+        period = self.config.full_energy_period
+
         it = start_iter
         while it < iter_num:
             if profile_iters and it >= profile_iters[0] and self.run_dir:
@@ -388,10 +550,13 @@ class VMC:
                     jax.profiler.start_trace(
                         os.path.join(self.run_dir, "profile")
                     )
+            overrides = self._schedule_overrides(it)
+            boundary = self._next_boundary(it)
             if steps_per_call > 1:
-                k_steps = min(steps_per_call, iter_num - it)
+                k_steps = int(min(steps_per_call, iter_num - it,
+                                  boundary - it))
                 params, opt_state, key, stacked = self._multi_step(
-                    k_steps
+                    k_steps, overrides
                 )(params, opt_state, key)
                 stacked = {
                     k: np.asarray(v) for k, v in stacked.items()
@@ -404,14 +569,23 @@ class VMC:
                     )
                 it += k_steps
             else:
-                params, opt_state, key, metrics = self._step(
-                    params, opt_state, key
-                )
+                params_prev = params
+                out = self._get_step(overrides)(params, opt_state, key)
+                if len(out) == 5:
+                    params, opt_state, key, metrics, aux_sample = out
+                else:
+                    params, opt_state, key, metrics = out
+                    aux_sample = None
                 row = {k: float(v) for k, v in metrics.items()}
-                period = self.config.full_energy_period
-                if period and it > 0 and it % period == 0:
-                    key, sub = jax.random.split(key)
-                    fe_re, fe_im, fe_var = self._full_energy(params, sub)
+                if (
+                    period
+                    and it > 0
+                    and it % period == 0
+                    and aux_sample is not None
+                ):
+                    fe_re, fe_im, fe_var = self._full_energy(
+                        params_prev, *aux_sample
+                    )
                     row["full_energy"] = float(fe_re)
                     row["full_energy_var"] = float(fe_var)
                 handle_row(it, row, params, opt_state, key)

@@ -47,10 +47,14 @@ def check_normalization(net_type):
 
     # Causality: conditional for qudit q must ignore bits at qudits >= q,
     # so perturbing qudits >= 1 leaves outputs at qudits 0 and 1 unchanged.
-    la1, _ = anqs._raw_heads(params, jnp.asarray(x[:4], jnp.float32))
+    la1 = anqs.main_log_abs_raw(
+        params, bitops.pack(jnp.asarray(np.ascontiguousarray(x[:4])))
+    )
     x2 = x[:4].copy()
     x2[:, anqs.qudit_starts[1]:] ^= 1
-    la2, _ = anqs._raw_heads(params, jnp.asarray(x2, jnp.float32))
+    la2 = anqs.main_log_abs_raw(
+        params, bitops.pack(jnp.asarray(np.ascontiguousarray(x2)))
+    )
     np.testing.assert_allclose(
         np.asarray(la1[:, :2]), np.asarray(la2[:, :2]), atol=2e-5
     )

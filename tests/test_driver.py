@@ -1,0 +1,167 @@
+"""Driver-parity features: schedules, caches, checkpoints, grad processing.
+
+Reference behaviors covered: opt/sampling/proc-grad schedules
+(energy_opt_exp.py:221-305,483-501), init-weights cache (:381-395),
+best-model cascade (:414-481,648-675), checkpoint/resume (SURVEY.md 5.4),
+grad renormalization (process_grad.py:66-70).
+"""
+
+import os
+
+import numpy as np
+import jax
+
+from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
+from anqs_quantum_chemistry_tpu.models.anqs import AnqsConfig
+from anqs_quantum_chemistry_tpu.optim.sr import SRConfig
+
+
+def make_vmc(tmp_path=None, **cfg):
+    mol = Molecule.create(
+        MolConfig(name="H2"), mols_dir="mols", run_fci=False, run_cisd=False
+    )
+    defaults = dict(
+        sample_num=8, sampling_mode="gumbel", qubit_per_qudit=2,
+        lr=5e-3, seed=1,
+    )
+    defaults.update(cfg)
+    return VMC(
+        mol,
+        VMCConfig(**defaults),
+        AnqsConfig(hidden_widths=(8,)),
+        run_dir=str(tmp_path) if tmp_path else None,
+    )
+
+
+def test_schedules_resolve_and_run(tmp_path):
+    """sample_num / sr / lr all change at iteration boundaries; the run
+    crosses every boundary and keeps optimizing."""
+    vmc = make_vmc(
+        tmp_path,
+        iter_num=9,
+        opt_schedule=((0, {}), (3, {"lr": 1e-3})),
+        sampling_schedule=((0, {}), (5, {"sample_num": 12})),
+        proc_grad_schedule=(
+            (0, {}),
+            (7, {"sr": SRConfig(max_indices_num=4), "grad_renorm": True}),
+        ),
+    )
+    assert vmc._schedule_overrides(0) == {}
+    assert vmc._schedule_overrides(4) == {"lr": 1e-3}
+    ov7 = vmc._schedule_overrides(7)
+    assert ov7["sample_num"] == 12 and ov7["grad_renorm"] is True
+    assert vmc._next_boundary(0) == 3
+    assert vmc._next_boundary(3) == 5
+    assert vmc._next_boundary(7) == float("inf")
+
+    params, opt_state, history, best = vmc.run(checkpoint_every=None)
+    assert len(history) == 9
+    uniq = [h["unique_num"] for h in history]
+    assert max(uniq[:5]) <= 8 and max(uniq[5:]) <= 12
+    # grad renorm: ||grad|| == 1 for the scheduled segment.
+    np.testing.assert_allclose(history[8]["grad_norm"], 1.0, rtol=1e-5)
+    assert np.isfinite(best["energy"])
+
+
+def test_schedules_in_multi_step(tmp_path):
+    """Multi-step dispatch clips at schedule boundaries."""
+    vmc = make_vmc(
+        tmp_path,
+        iter_num=6,
+        sampling_schedule=((0, {}), (4, {"sample_num": 12})),
+    )
+    _, _, history, _ = vmc.run(checkpoint_every=None, steps_per_call=4)
+    assert len(history) == 6
+    assert history[3]["unique_num"] <= 8
+    assert history[5]["unique_num"] <= 12
+
+
+def test_lr_schedule_changes_updates():
+    """Piecewise LR schedule: steps after the boundary move params less."""
+    vmc = make_vmc(lr_schedule=((0, 1e-2), (2, 1e-6)))
+    params, opt_state, key = vmc.init_state()
+    from jax.flatten_util import ravel_pytree
+
+    flat0, _ = ravel_pytree(params)
+    p, o, k, _ = vmc._step(params, opt_state, key)
+    flat1, _ = ravel_pytree(p)
+    step1 = np.abs(np.asarray(flat1 - flat0)).max()
+    p, o, k, _ = vmc._step(p, o, k)
+    p, o, k, _ = vmc._step(p, o, k)  # now past boundary (count=2)
+    flat2, _ = ravel_pytree(p)
+    p, o, k, _ = vmc._step(p, o, k)
+    flat3, _ = ravel_pytree(p)
+    step3 = np.abs(np.asarray(flat3 - flat2)).max()
+    assert step1 > 1e-4 and step3 < step1 * 1e-2
+
+
+def test_init_weights_cache(tmp_path):
+    cache = os.path.join(str(tmp_path), "weights")
+    vmc1 = make_vmc(init_weights_cache=cache)
+    p1, _, _ = vmc1.init_state()
+    files = os.listdir(cache)
+    assert len(files) == 1
+    # Second build with the same config+seed loads identical weights.
+    vmc2 = make_vmc(init_weights_cache=cache)
+    p2, _, _ = vmc2.init_state()
+    from jax.flatten_util import ravel_pytree
+
+    f1, _ = ravel_pytree(p1)
+    f2, _ = ravel_pytree(p2)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    # Different seed -> different cache entry.
+    vmc3 = make_vmc(init_weights_cache=cache, seed=2)
+    vmc3.init_state()
+    assert len(os.listdir(cache)) == 2
+
+
+def test_checkpoint_save_load_resume_roundtrip(tmp_path):
+    """Full orbax roundtrip: resumed run continues bit-exact."""
+    vmc = make_vmc(tmp_path, iter_num=4)
+    params, opt_state, key = vmc.init_state()
+    for _ in range(2):
+        params, opt_state, key, metrics = vmc._step(params, opt_state, key)
+    ckpt = os.path.join(str(tmp_path), "ckpt_test")
+    vmc.save_checkpoint(ckpt, params, opt_state, key, 2)
+    p2, o2, k2, it2 = vmc.load_checkpoint(ckpt)
+    assert it2 == 2
+    np.testing.assert_array_equal(np.asarray(key), np.asarray(k2))
+    _, _, _, m_a = vmc._step(params, opt_state, key)
+    _, _, _, m_b = vmc._step(p2, o2, k2)
+    assert float(m_a["energy"]) == float(m_b["energy"])
+
+
+def test_best_model_cascade(tmp_path):
+    extra = os.path.join(str(tmp_path), "series_scope")
+    vmc = make_vmc(
+        tmp_path,
+        iter_num=3,
+        save_best_model=True,
+        extra_best_dirs=(extra,),
+    )
+    vmc.run(checkpoint_every=None)
+    best_dir = os.path.join(str(tmp_path), "best_model")
+    assert os.path.exists(os.path.join(best_dir, "best_energy.npy"))
+    assert os.path.exists(os.path.join(extra, "best_energy.npy"))
+    e, it = np.load(os.path.join(best_dir, "best_energy.npy"))
+    assert np.isfinite(e)
+    # The cascaded checkpoint restores.
+    p, o, k, _ = vmc.load_checkpoint(best_dir)
+    from jax.flatten_util import ravel_pytree
+
+    flat, _ = ravel_pytree(p)
+    assert np.isfinite(np.asarray(flat)).all()
+
+
+def test_full_energy_reuses_sample(tmp_path):
+    """full_energy_period measures on the iterate's own sample; on a tiny
+    system where sampling captures the whole sector, full == proxy."""
+    vmc = make_vmc(tmp_path, iter_num=3, full_energy_period=2)
+    _, _, history, _ = vmc.run(checkpoint_every=None)
+    row = history[2]
+    assert np.isfinite(row["full_energy"])
+    # All 4 sector states sampled -> full energy == sample-aware energy.
+    np.testing.assert_allclose(
+        row["full_energy"], row["energy"], rtol=1e-5
+    )
