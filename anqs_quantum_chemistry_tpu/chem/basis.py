@@ -58,6 +58,33 @@ _631G: Dict[str, list] = {
                (0.6401217, 0.81375733)]),
         ("S", [(0.1612778, 1.0)]),
     ],
+    "Li": [
+        ("S", [(642.41892, 0.0021426), (96.798515, 0.0162089),
+               (22.091121, 0.0773156), (6.2010703, 0.2457860),
+               (1.9351177, 0.4701890), (0.6367358, 0.3454708)]),
+        ("SP", [(2.3249184, -0.0350917, 0.0089415),
+                (0.6324306, -0.1912328, 0.1410095),
+                (0.0790534, 1.0839878, 0.9453637)]),
+        ("SP", [(0.0359620, 1.0, 1.0)]),
+    ],
+    "Be": [
+        ("S", [(1264.5857, 0.0019448), (189.93681, 0.0148351),
+               (43.159089, 0.0720906), (12.098663, 0.2371542),
+               (3.8063232, 0.4691987), (1.2728903, 0.3565202)]),
+        ("SP", [(3.1964631, -0.1126487, 0.0559802),
+                (0.7478133, -0.2295064, 0.2615506),
+                (0.2199663, 1.1869167, 0.7939723)]),
+        ("SP", [(0.0823099, 1.0, 1.0)]),
+    ],
+    "B": [
+        ("S", [(2068.8823, 0.0018663), (310.64957, 0.0142515),
+               (70.683033, 0.0695516), (19.861080, 0.2325729),
+               (6.2993048, 0.4670787), (2.1270270, 0.3634314)]),
+        ("SP", [(4.7279710, -0.1303938, 0.0745976),
+                (1.1903377, -0.1307889, 0.3078467),
+                (0.3594117, 1.1309444, 0.7434568)]),
+        ("SP", [(0.1267512, 1.0, 1.0)]),
+    ],
     "C": [
         ("S", [(3047.5249, 0.0018347), (457.36951, 0.0140373),
                (103.94869, 0.0688426), (29.210155, 0.2321844),
@@ -84,6 +111,24 @@ _631G: Dict[str, list] = {
                 (3.5999336, -0.1480263, 0.3397528),
                 (1.0137618, 1.1307670, 0.7271586)]),
         ("SP", [(0.2700058, 1.0, 1.0)]),
+    ],
+    "F": [
+        ("S", [(7001.7131, 0.0018196169), (1051.3660, 0.0139160796),
+               (239.28569, 0.0684053245), (67.397445, 0.2331857600),
+               (21.519957, 0.4712674390), (7.4031013, 0.3566185460)]),
+        ("SP", [(20.847952, -0.1085069750, 0.0716287243),
+                (4.8083083, -0.1464516580, 0.3459121030),
+                (1.3440699, 1.1286885800, 0.7224699570)]),
+        ("SP", [(0.3581514, 1.0, 1.0)]),
+    ],
+    "Ne": [
+        ("S", [(8425.8515, 0.0018843481), (1268.5194, 0.0143368994),
+               (289.62141, 0.0701096233), (81.859004, 0.2373732660),
+               (26.251979, 0.4730071261), (9.0947205, 0.3484012410)]),
+        ("SP", [(26.532131, -0.1071182870, 0.0719095885),
+                (5.6264575, -0.1461638210, 0.3495133720),
+                (1.5954910, 1.1283873200, 0.7199405120)]),
+        ("SP", [(0.4869870, 1.0, 1.0)]),
     ],
 }
 
@@ -135,7 +180,7 @@ def _element_shell_data(element: str, basis: str):
     if basis == "sto3g":
         return _sto3g_shells(element)
     if basis == "631g":
-        if element in ("Li", "Be", "B", "F", "Ne"):
+        if element not in _631G:
             raise NotImplementedError(
                 f"6-31G data for {element} not embedded yet"
             )

@@ -51,12 +51,12 @@ class PauliHamiltonian:
         return self.weights.shape[0]
 
     def dense_matrix_element(self, x_bits: int, y_bits: int) -> float:
-        """Oracle <y|H|x> for tests (python ints)."""
+        """Oracle <y|H|x> for tests (python ints, any qubit count)."""
         flip = x_bits ^ y_bits
-        a_ints = words_to_ints(self.a_masks)
-        b_ints = words_to_ints(self.b_words)
+        a_ints = words_to_pyints(self.a_masks)
+        b_ints = words_to_pyints(self.b_words)
         val = self.constant if flip == 0 else 0.0
-        m = np.searchsorted(a_ints, flip)
+        m = int(np.searchsorted(a_ints, flip))
         if m < len(a_ints) and a_ints[m] == flip:
             s, e = self.group_starts[m], self.group_starts[m + 1]
             for t in range(s, e):
@@ -65,17 +65,32 @@ class PauliHamiltonian:
         return float(val)
 
 
-def ints_to_words(values: np.ndarray, qubit_num: int) -> np.ndarray:
-    """(N,) uint64/object ints -> (N, W) uint32 little-endian words."""
+def ints_to_words(values, qubit_num: int) -> np.ndarray:
+    """(N,) ints (python ints allowed, any size) -> (N, W) uint32 words."""
     w = n_words(qubit_num)
-    values = np.asarray(values, dtype=np.uint64)
     out = np.zeros((len(values), w), dtype=np.uint32)
-    for j in range(w):
-        out[:, j] = (values >> np.uint64(WORD_BITS * j)).astype(np.uint32)
+    mask = (1 << WORD_BITS) - 1
+    for i, v in enumerate(values):
+        v = int(v)
+        for j in range(w):
+            out[i, j] = (v >> (WORD_BITS * j)) & mask
+    return out
+
+
+def words_to_pyints(words: np.ndarray) -> list:
+    """(N, W) uint32 words -> list of python ints (any qubit count)."""
+    out = []
+    for row in words:
+        v = 0
+        for j in range(words.shape[1]):
+            v |= int(row[j]) << (WORD_BITS * j)
+        out.append(v)
     return out
 
 
 def words_to_ints(words: np.ndarray) -> np.ndarray:
+    """(N, W) uint32 words -> (N,) uint64 (requires <= 64 qubits)."""
+    assert words.shape[1] * WORD_BITS <= 64
     out = np.zeros(words.shape[0], dtype=np.uint64)
     for j in range(words.shape[1]):
         out |= words[:, j].astype(np.uint64) << np.uint64(WORD_BITS * j)
@@ -83,13 +98,15 @@ def words_to_ints(words: np.ndarray) -> np.ndarray:
 
 
 def _expand_ladder_products(
-    orbitals: np.ndarray, daggers: np.ndarray, coefs: np.ndarray
+    orbitals: np.ndarray, daggers: np.ndarray, coefs: np.ndarray, w: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """JW-expand ladder products a^(d1)_{o1} ... a^(dk)_{ok}.
 
     ``orbitals``: (T, k) int, ``daggers``: (k,) bool (same pattern for the
-    whole batch), ``coefs``: (T,) float. Returns (A, B, w) arrays of length
-    T * 2^k with uint64 masks.
+    whole batch), ``coefs``: (T,) float, ``w``: words per mask. Returns
+    (A (T*2^k, w), B (T*2^k, w), weights (T*2^k,)) with multi-word uint32
+    masks -- no 64-qubit cap (the reference codec handles ~100 qubits via
+    int64 words, hilbert_space.py:52-53; here W uint32 words).
 
     Derivation: a_o = Z_{<o} (X_o + i Y_o)/2 and a+_o the conjugate. In XZ
     form, the X-choice contributes X_o Z_{<o} with factor 1/2 and the Y-choice
@@ -99,12 +116,31 @@ def _expand_ladder_products(
     """
     t_num, k = orbitals.shape
     n_choice = 1 << k
-    o64 = orbitals.astype(np.uint64)
-    bit = np.uint64(1) << o64  # (T, k)
-    below = bit - np.uint64(1)  # Z-string mask below each orbital
+    word_idx = (orbitals // WORD_BITS).astype(np.int64)  # (T, k)
+    bit_idx = (orbitals % WORD_BITS).astype(np.uint32)
 
-    a_acc = np.zeros((t_num, n_choice), dtype=np.uint64)
-    b_acc = np.zeros((t_num, n_choice), dtype=np.uint64)
+    # x_words[t, i] = one-hot word mask of orbital (T, k, w)
+    j_idx = np.arange(w)
+    x_words = np.where(
+        j_idx[None, None, :] == word_idx[..., None],
+        (np.uint32(1) << bit_idx[..., None].astype(np.uint32)),
+        np.uint32(0),
+    ).astype(np.uint32)
+    # below[t, i] = all bits strictly below the orbital
+    full = np.uint32(0xFFFFFFFF)
+    below = np.where(
+        j_idx[None, None, :] < word_idx[..., None], full, np.uint32(0)
+    )
+    low = (
+        (np.uint32(1) << bit_idx[..., None].astype(np.uint32)) - np.uint32(1)
+    )
+    below = below | np.where(
+        j_idx[None, None, :] == word_idx[..., None], low, np.uint32(0)
+    )
+    below = below.astype(np.uint32)
+
+    a_acc = np.zeros((t_num, n_choice, w), dtype=np.uint32)
+    b_acc = np.zeros((t_num, n_choice, w), dtype=np.uint32)
     w_acc = np.broadcast_to(
         coefs[:, None] / (2.0**k), (t_num, n_choice)
     ).copy()
@@ -115,18 +151,28 @@ def _expand_ladder_products(
 
     for i in range(k):
         use_y = choice_bits[i][None, :]  # (1, n_choice)
-        x_i = bit[:, i : i + 1]  # (T, 1)
-        z_i = np.where(use_y, below[:, i : i + 1] | x_i,
-                       below[:, i : i + 1])
+        x_i = x_words[:, i][:, None, :]  # (T, 1, w)
+        z_i = np.where(
+            use_y[..., None], below[:, i][:, None, :] | x_i,
+            below[:, i][:, None, :],
+        )
         sigma = -1.0 if daggers[i] else 1.0
         w_acc = np.where(use_y, -sigma * w_acc, w_acc)
-        # Anticommutation: X^{x_i} moves past Z^{b_acc}.
-        crosses = ((b_acc >> o64[:, i : i + 1]) & np.uint64(1)).astype(bool)
+        # Anticommutation: X^{x_i} moves past Z^{b_acc}: sign flips when
+        # bit o_i of b_acc is set.
+        b_word = np.take_along_axis(
+            b_acc, word_idx[:, i][:, None, None], axis=2
+        )[..., 0]  # (T, n_choice)
+        crosses = ((b_word >> bit_idx[:, i][:, None]) & 1).astype(bool)
         w_acc = np.where(crosses, -w_acc, w_acc)
         a_acc = a_acc ^ x_i
         b_acc = b_acc ^ z_i
 
-    return a_acc.ravel(), b_acc.ravel(), w_acc.ravel()
+    return (
+        a_acc.reshape(-1, w),
+        b_acc.reshape(-1, w),
+        w_acc.ravel(),
+    )
 
 
 def jordan_wigner_pauli_hamiltonian(
@@ -141,41 +187,50 @@ def jordan_wigner_pauli_hamiltonian(
         + 1/2 sum v[p,q,r,s] <pq|rs> a+_p a+_q a_s a_r.
     """
     n_so = h1.shape[0]
-    if n_so > 64:
-        raise NotImplementedError("JW masks limited to 64 qubits for now")
+    w = n_words(n_so)
 
     all_a, all_b, all_w = [], [], []
 
     p_idx, q_idx = np.nonzero(np.abs(h1) > tol)
     if len(p_idx):
-        a, b, w = _expand_ladder_products(
+        a, b, wt = _expand_ladder_products(
             np.stack([p_idx, q_idx], axis=1),
             np.array([True, False]),
             h1[p_idx, q_idx],
+            w,
         )
         all_a.append(a)
         all_b.append(b)
-        all_w.append(w)
+        all_w.append(wt)
 
     pq = np.nonzero(np.abs(v) > tol)
     if len(pq[0]):
         orbitals = np.stack([pq[0], pq[1], pq[3], pq[2]], axis=1)
-        # a+_p a+_q a_s a_r: operator order (p, q, s, r).
-        a, b, w = _expand_ladder_products(
-            orbitals,
-            np.array([True, True, False, False]),
-            0.5 * v[pq],
-        )
-        all_a.append(a)
-        all_b.append(b)
-        all_w.append(w)
+        # a+_p a+_q a_s a_r: operator order (p, q, s, r). Expanded in
+        # chunks to bound the (T, 16, w) intermediate memory at large n.
+        chunk = 200_000
+        for s in range(0, len(pq[0]), chunk):
+            sl = slice(s, s + chunk)
+            a, b, wt = _expand_ladder_products(
+                orbitals[sl],
+                np.array([True, True, False, False]),
+                0.5 * v[pq][sl],
+                w,
+            )
+            all_a.append(a)
+            all_b.append(b)
+            all_w.append(wt)
 
-    a_all = np.concatenate(all_a) if all_a else np.zeros(0, np.uint64)
-    b_all = np.concatenate(all_b) if all_b else np.zeros(0, np.uint64)
+    a_all = (
+        np.concatenate(all_a) if all_a else np.zeros((0, w), np.uint32)
+    )
+    b_all = (
+        np.concatenate(all_b) if all_b else np.zeros((0, w), np.uint32)
+    )
     w_all = np.concatenate(all_w) if all_w else np.zeros(0, np.float64)
 
-    # Merge duplicate (A, B) strings.
-    pair = np.stack([a_all, b_all], axis=1)
+    # Merge duplicate (A, B) strings (multi-word row-wise unique).
+    pair = np.concatenate([a_all, b_all], axis=1)
     uniq, inverse = np.unique(pair, axis=0, return_inverse=True)
     weights = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(weights, inverse, w_all)
@@ -185,24 +240,32 @@ def jordan_wigner_pauli_hamiltonian(
     weights = weights[keep]
 
     # Identity term -> constant.
-    is_id = (uniq[:, 0] == 0) & (uniq[:, 1] == 0)
+    is_id = (uniq == 0).all(axis=1)
     const = constant + float(weights[is_id].sum())
     uniq = uniq[~is_id]
     weights = weights[~is_id]
 
-    # Sort by (A, B) and build the CSR grouping over unique A.
-    order = np.lexsort((uniq[:, 1], uniq[:, 0]))
-    uniq = uniq[order]
+    # Sort by (A, B) canonically (most-significant word first within A,
+    # then B) and build the CSR grouping over unique A.
+    a_cols = uniq[:, :w]
+    b_cols = uniq[:, w:]
+    sort_keys = tuple(b_cols[:, j] for j in range(w)) + tuple(
+        a_cols[:, j] for j in range(w)
+    )
+    order = np.lexsort(sort_keys)
+    a_sorted = a_cols[order]
+    b_sorted = b_cols[order]
     weights = weights[order]
-    a_sorted = uniq[:, 0]
-    unique_a, first = np.unique(a_sorted, return_index=True)
+    unique_a, first = np.unique(a_sorted, axis=0, return_index=True)
+    first = np.sort(first)
+    unique_a = a_sorted[first]
     group_starts = np.concatenate([first, [len(a_sorted)]]).astype(np.int64)
 
     return PauliHamiltonian(
         qubit_num=n_so,
         constant=const,
-        a_masks=ints_to_words(unique_a, n_so),
-        b_words=ints_to_words(uniq[:, 1], n_so),
+        a_masks=np.ascontiguousarray(unique_a),
+        b_words=np.ascontiguousarray(b_sorted),
         weights=weights,
         group_starts=group_starts,
     )
@@ -219,10 +282,11 @@ def z_string_symmetries(ham: PauliHamiltonian) -> np.ndarray:
     Returns (G, qubit_num) 0/1 int8 rows, one per independent generator.
     """
     n = ham.qubit_num
-    a_ints = words_to_ints(ham.a_masks)
-    rows = np.zeros((len(a_ints), n), dtype=np.int8)
+    rows = np.zeros((ham.a_masks.shape[0], n), dtype=np.int8)
     for j in range(n):
-        rows[:, j] = (a_ints >> np.uint64(j)).astype(np.uint64) & np.uint64(1)
+        rows[:, j] = (
+            ham.a_masks[:, j // WORD_BITS] >> np.uint32(j % WORD_BITS)
+        ) & np.uint32(1)
     # GF(2) RREF of rows; nullspace basis from free columns.
     m = rows.copy() % 2
     pivots = []

@@ -82,11 +82,18 @@ class PauliEngine:
         # rounds, covering the full f32 mantissa. Default-precision MXU
         # matmuls against the +-1 sign matrix then reproduce the f32 result
         # exactly at half the cost of Precision.HIGHEST.
+        #
+        # The bf16 cast happens HOST-SIDE (ml_dtypes): a bfloat16
+        # device->host transfer through the axon tunnel permanently degrades
+        # later dispatches of gather-bearing programs to ~475 ms each
+        # (measured; see CLAUDE.md "environment facts").
+        import ml_dtypes
+
         splits = []
         residual = g.astype(np.float32)
         for _ in range(3):  # 3 bf16 terms cover the full f32 mantissa
-            part = np.asarray(jnp.asarray(residual, jnp.bfloat16))
-            splits.append(jnp.asarray(part, jnp.bfloat16))
+            part = residual.astype(ml_dtypes.bfloat16)
+            splits.append(jnp.asarray(part))
             residual = residual - part.astype(np.float32)
         self.group_weight_splits = tuple(splits)
         self.group_id = jnp.asarray(group_id, dtype=jnp.int32)

@@ -118,3 +118,36 @@ def test_z_string_symmetries_commute(lih):
 def test_nuclear_repulsion():
     atoms = [("H", (0.0, 0.0, 0.0)), ("H", (0.0, 0.0, 2.0))]
     assert abs(nuclear_repulsion(atoms) - 0.5) < 1e-12
+
+
+def test_631g_li_be_b_f():
+    """6-31G data for the second-row gap elements (round-2 addition).
+
+    Be atom RHF/6-31G = -14.566764 Ha (published closed-shell atomic value);
+    molecular checks: the bigger basis lowers the variational HF energy.
+    """
+    import numpy as np
+
+    from anqs_quantum_chemistry_tpu.chem.basis import basis_for_atoms
+    from anqs_quantum_chemistry_tpu.chem.integrals import compute_integrals_ao
+    from anqs_quantum_chemistry_tpu.chem.scf import rhf
+
+    atoms = [("Be", (0.0, 0.0, 0.0))]
+    ints = compute_integrals_ao(atoms, basis_for_atoms(atoms, "6-31g"))
+    res = rhf(ints["S"], ints["T"] + ints["V"], ints["ERI"], 4, 0.0)
+    assert res["converged"]
+    np.testing.assert_allclose(res["hf_energy"], -14.566764, atol=2e-6)
+
+    from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+
+    for name in ("LiH", "BeH2"):
+        small = Molecule.create(
+            MolConfig(name=name), mols_dir="mols",
+            run_fci=False, run_cisd=False,
+        )
+        big = Molecule.create(
+            MolConfig(name=name, basis="6-31g"), mols_dir="mols",
+            run_fci=False, run_cisd=False,
+        )
+        assert big.hf_energy < small.hf_energy
+        assert big.qubit_num > small.qubit_num
