@@ -17,6 +17,7 @@ whose gradient equals the VMC energy gradient (f and E_loc held constant).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import os
@@ -128,13 +129,59 @@ class VMC:
         self._step_cache = {}
         self._multi_step_cache = {}
         self._full_energy_jit = None
-        self._step = jax.jit(self._step_impl)
+        self._step = self._get_step()
 
         # Packed reference determinant (HF) for the projected-energy metric.
         n = self.ham.qubit_num
         ref = ref_det if ref_det is not None else 0
         hf_bits = np.array([[(ref >> i) & 1 for i in range(n)]])
         self.hf_words = bitops.pack(jnp.asarray(hf_bits))
+
+    # ------------------------------------------------------------------
+    # Device-constant threading
+    # ------------------------------------------------------------------
+    # The axon TPU tunnel permanently degrades a process to ~475 ms per
+    # dispatch of gather-bearing programs once ANY executable carrying a
+    # data literal (>= 256 B; numpy-sourced arrays baked into the HLO by
+    # closure capture) has run. Synthesizable constants (iota/zeros) are
+    # fine. So every jitted entry point threads the masker tables and
+    # Hamiltonian structure tensors as ARGUMENTS: ``_bound_consts``
+    # temporarily rebinds the attributes to the traced values while the
+    # program is being traced.
+    def _const_targets(self):
+        targets = [
+            (self.anqs, "trans_tables"),
+            (self.anqs, "mask_tables"),
+            (self.anqs, "pad_masks"),
+            (self.anqs, "qudit_starts_arr"),
+            (self.engine, "a_words"),
+            (self.engine, "b_bits"),
+            (self.engine, "group_weights"),
+            (self.engine, "group_weight_splits"),
+            (self.engine, "group_id"),
+            (self.engine, "weights"),
+            (self, "hf_words"),
+        ]
+        if getattr(self.anqs, "sign_structure", None) is not None:
+            targets.append((self.anqs, "sign_structure"))
+        if hasattr(self.anqs, "sf_cont_idx"):
+            targets.append((self.anqs, "sf_cont_idx"))
+        return targets
+
+    def device_consts(self):
+        return [getattr(o, a) for o, a in self._const_targets()]
+
+    @contextlib.contextmanager
+    def _bound_consts(self, consts):
+        targets = self._const_targets()
+        old = [getattr(o, a) for o, a in targets]
+        for (o, a), v in zip(targets, consts):
+            setattr(o, a, v)
+        try:
+            yield
+        finally:
+            for (o, a), v in zip(targets, old):
+                setattr(o, a, v)
 
     # ------------------------------------------------------------------
     # Config schedules (host-resolved; one compiled program per segment)
@@ -194,47 +241,74 @@ class VMC:
                     nb = min(nb, int(start))
         return nb
 
-    def _get_step(self, overrides: Optional[dict] = None):
-        """Jitted single-step program for the given config overrides."""
+    def _step_configs(self, overrides: Optional[dict] = None):
         ov = dict(overrides or {})
         key = json.dumps(ov, sort_keys=True, default=str)
+        eff = self.config.replace(**ov) if ov else self.config
+        samp = SamplingConfig(
+            sample_num=eff.sample_num,
+            mode=eff.sampling_mode,
+            budget=eff.multinomial_budget,
+        )
+        return key, eff, samp
+
+    def _get_step(self, overrides: Optional[dict] = None):
+        """Jitted single-step program for the given config overrides.
+
+        The returned callable has the plain (params, opt_state, key)
+        signature; the device tables ride along as real arguments (see
+        ``_bound_consts``)."""
+        key, eff, samp = self._step_configs(overrides)
         if key not in self._step_cache:
-            eff = self.config.replace(**ov) if ov else self.config
-            samp = SamplingConfig(
-                sample_num=eff.sample_num,
-                mode=eff.sampling_mode,
-                budget=eff.multinomial_budget,
-            )
             opt = self._make_opt(eff)
-            impl = self._make_step_impl(eff, samp, opt)
-            self._step_cache[key] = (jax.jit(impl), impl)
-        return self._step_cache[key][0]
+
+            def impl(params, opt_state, key_, consts):
+                with self._bound_consts(consts):
+                    return self._step_body(
+                        params, opt_state, key_, eff, samp, opt
+                    )
+
+            jitted = jax.jit(impl)
+
+            def call(params, opt_state, key_):
+                return jitted(params, opt_state, key_, self.device_consts())
+
+            self._step_cache[key] = {
+                "call": call, "eff": eff, "samp": samp, "opt": opt,
+            }
+        return self._step_cache[key]["call"]
 
     def _multi_step(self, n_steps: int, overrides: Optional[dict] = None):
         """One device dispatch running ``n_steps`` training steps via
         lax.scan (amortizes per-dispatch latency over many on-device
-        steps). Returns stacked metrics."""
-        ov = dict(overrides or {})
-        key = (n_steps, json.dumps(ov, sort_keys=True, default=str))
+        steps). Returns stacked metrics (full-energy aux outputs, if
+        enabled, are dropped on this path)."""
+        key0, eff, samp = self._step_configs(overrides)
+        key = (n_steps, key0)
         if key not in self._multi_step_cache:
-            self._get_step(ov)  # ensure impl exists
-            impl = self._step_cache[key[1]][1]
+            self._get_step(overrides)
+            opt = self._step_cache[key0]["opt"]
 
-            def body(state, _):
-                params, opt_state, key_ = state
-                params, opt_state, key_, metrics = impl(
-                    params, opt_state, key_
-                )
-                return (params, opt_state, key_), metrics
+            def run_n_impl(params, opt_state, key_, consts):
+                with self._bound_consts(consts):
+                    def body(state, _):
+                        p, o, k2 = state
+                        out = self._step_body(p, o, k2, eff, samp, opt)
+                        p, o, k2, metrics = out[:4]
+                        return (p, o, k2), metrics
 
-            @jax.jit
-            def run_n(params, opt_state, key_):
-                (params, opt_state, key_), metrics = jax.lax.scan(
-                    body, (params, opt_state, key_), None, length=n_steps
-                )
+                    (params, opt_state, key_), metrics = jax.lax.scan(
+                        body, (params, opt_state, key_), None,
+                        length=n_steps,
+                    )
                 return params, opt_state, key_, metrics
 
-            self._multi_step_cache[key] = run_n
+            jitted = jax.jit(run_n_impl)
+
+            def call(params, opt_state, key_):
+                return jitted(params, opt_state, key_, self.device_consts())
+
+            self._multi_step_cache[key] = call
         return self._multi_step_cache[key]
 
     # ------------------------------------------------------------------
@@ -279,19 +353,13 @@ class VMC:
 
     # ------------------------------------------------------------------
     def _step_impl(self, params, opt_state, key):
-        """Base-config step (kept for back-compat: bench/graft entry jit
-        this directly)."""
-        return self._make_step_impl(
-            self.config, self.sampling_config, self.opt
-        )(params, opt_state, key)
-
-    def _make_step_impl(self, cfg, sampling_config, opt):
-        def step_impl(params, opt_state, key):
-            return self._step_body(
-                params, opt_state, key, cfg, sampling_config, opt
-            )
-
-        return step_impl
+        """Raw traceable step with closure-captured tables (the multi-chip
+        dryrun jits this under a mesh; on TPU prefer ``_step``/``_get_step``,
+        which thread the tables as arguments)."""
+        return self._step_body(
+            params, opt_state, key, self.config, self.sampling_config,
+            self.opt,
+        )
 
     def _step_body(self, params, opt_state, key, cfg, sampling_config, opt):
         key, sample_key = jax.random.split(key)
@@ -407,16 +475,19 @@ class VMC:
         parameters that produced (la, ph)."""
         if self._full_energy_jit is None:
 
-            def impl(params_, words_, la_, ph_, valid_):
-                e = self.engine.local_energy_full(
-                    self.anqs, params_, words_, la_, ph_, valid_
-                )
+            def impl(params_, words_, la_, ph_, valid_, consts):
+                with self._bound_consts(consts):
+                    e = self.engine.local_energy_full(
+                        self.anqs, params_, words_, la_, ph_, valid_
+                    )
                 theor = jnp.where(valid_, jnp.exp(2.0 * la_), 0.0)
                 freqs = theor / jnp.maximum(jnp.sum(theor), 1e-30)
                 return mc_estimate(e.e_re, e.e_im, freqs)
 
             self._full_energy_jit = jax.jit(impl)
-        return self._full_energy_jit(params, words, la, ph, valid)
+        return self._full_energy_jit(
+            params, words, la, ph, valid, self.device_consts()
+        )
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str, params, opt_state, key, it: int):

@@ -164,3 +164,46 @@ def test_local_energy_subset_restriction(lih_setup):
             np.asarray(e.e_re)[row], e_exact.real, rtol=3e-4, atol=3e-4
         )
         break  # one row suffices; the full-set test covers the rest
+
+
+def test_membership_table_matches_search():
+    """Direct-address membership (table) and sorted binary search produce
+    identical local energies (the two coupling backends; reference keeps
+    redundant coupling methods for cross-checking, SURVEY.md section 4.6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+    from anqs_quantum_chemistry_tpu.observables.pauli import PauliEngine
+    from anqs_quantum_chemistry_tpu.ops import bits as bitops, keys
+
+    mol = Molecule.create(
+        MolConfig(name="H2O"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+    rng = np.random.default_rng(7)
+    n = mol.qubit_num
+    bits = rng.integers(0, 2, size=(64, n))
+    words = bitops.pack(jnp.asarray(bits))
+    valid = jnp.asarray(rng.random(64) < 0.9)
+    words = jnp.where(
+        valid[:, None], words, jnp.full_like(words, bitops.UINT(0xFFFFFFFF))
+    )
+    sw, _, sv = keys.sort_words(words, valid.astype(jnp.int32))
+    sv = sv.astype(bool) & keys.unique_mask(sw)
+    la = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    ph = jnp.asarray(rng.standard_normal(64), jnp.float32)
+
+    e_table = PauliEngine(mol.qubit_ham, membership="table").local_energy_proxy(
+        sw, la, ph, sv
+    )
+    e_search = PauliEngine(
+        mol.qubit_ham, membership="search"
+    ).local_energy_proxy(sw, la, ph, sv)
+    np.testing.assert_allclose(
+        np.asarray(e_table.e_re), np.asarray(e_search.e_re), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_table.e_im), np.asarray(e_search.e_im), atol=1e-5
+    )
+    assert int(e_table.found_pairs) == int(e_search.found_pairs)
