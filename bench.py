@@ -1,18 +1,29 @@
 """Benchmark: connected-determinant local-energy throughput per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Workload: N2/STO-3G (20 qubits, 400 unique flip-mask groups), 8192 unique
-determinants per iteration, full jitted VMC step (Gumbel top-k sampling +
-amplitudes + sample-aware local energies + gradient + Adam). The metric
-counts *candidate* connected-determinant matrix-element evaluations
-(B x M per iteration -- every <x^A_m|H|x> is evaluated by the dense MXU
-pipeline) per second of wall time.
+Workload: N2/STO-3G (20 qubits, 536 unique flip-mask groups), 16384-unique
+Gumbel top-k sampling per iteration -- the (N_alpha, N_beta) sector holds
+14400 determinants, so every physical determinant is sampled and the energy
+is the exact Rayleigh quotient. The full jitted VMC step (sampling +
+amplitudes + sample-aware local energies + gradient + SR top-50 + Adam) runs
+in 25-step lax.scan windows; this is the same compiled program
+examples/n2_convergence.py trains with.
+
+Two throughput rates are reported (the round-1 bench conflated them --
+VERDICT.md "what's weak" #1):
+
+* ``value`` / ``found_pairs_per_sec``: connected determinant pairs FOUND in
+  the sampled set per second -- the reference's ``sampled_x_primes_num``
+  accounting (reference: nqs/nqs/stochastic/observables/pauli_observable.py:
+  25-86). ``vs_baseline`` divides this by the like-for-like baseline.
+* ``candidates_per_sec``: candidate matrix elements evaluated by the dense
+  MXU pipeline (B x M per iteration).
 
 Baseline: the reference publishes no numbers (BASELINE.md); its Colab toy
 run does ~0.36 s/iter on Li2O/STO-3G with 1e4 unique samples and ~1e2
-connected determinants found per sample => ~2.8e6 connected-det evals/sec on
-a Colab GPU. vs_baseline is measured against that estimate.
+connected determinants found per sample => ~2.8e6 found-pairs/sec on a
+Colab GPU.
 """
 
 from __future__ import annotations
@@ -21,64 +32,70 @@ import json
 import time
 
 
-def main():
-    import jax
-
+def build_vmc():
+    """The shared N2 flagship configuration (bench + convergence run)."""
     from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
     from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
     from anqs_quantum_chemistry_tpu.models.anqs import AnqsConfig
+    from anqs_quantum_chemistry_tpu.optim.sr import SRConfig
 
-    sample_num = 8192
     mol = Molecule.create(
         MolConfig(name="N2", basis="sto-3g"),
         mols_dir="mols",
         run_fci=False,
         run_cisd=False,
     )
-    # NOTE: keep this exact config stable -- its TPU compile is cached in
-    # .jax_cache (cold compiles cost ~1h through this environment's remote
-    # TPU toolchain). SR is benchmarked separately; the connected-determinant
-    # throughput metric is dominated by sampling + local energies either way.
     vmc = VMC(
         mol,
         VMCConfig(
-            sample_num=sample_num,
+            sample_num=16384,
             sampling_mode="gumbel",
             qubit_per_qudit=5,
             lr=1e-3,
+            sr=SRConfig(max_indices_num=50),
+            seed=0,
         ),
         AnqsConfig(hidden_widths=(512,)),
     )
+    return mol, vmc
+
+
+def main():
+    import jax
+    import numpy as np
+
+    mol, vmc = build_vmc()
+    sample_num = vmc.config.sample_num
     params, opt_state, key = vmc.init_state()
 
-    # Single-step dispatch: the lax.scan multi-step wrapper exists
-    # (VMC._multi_step) but its compile takes >90 min through this
-    # environment's remote TPU toolchain, so the bench stays on the
-    # reliably-cached single-step program. Per-dispatch tunnel latency
-    # (~0.4s) is therefore part of the measured number.
-    for _ in range(2):
-        params, opt_state, key, metrics = vmc._step(params, opt_state, key)
-    jax.block_until_ready(metrics)
+    steps = 25
+    run = vmc._multi_step(steps)
+    out = run(params, opt_state, key)
+    jax.block_until_ready(out[3])
 
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, key, metrics = vmc._step(params, opt_state, key)
-    jax.block_until_ready(metrics)
+    out = run(*out[:3])
+    jax.block_until_ready(out[3])
     elapsed = time.perf_counter() - t0
 
-    candidates_per_iter = sample_num * mol.qubit_ham.n_groups
-    rate = candidates_per_iter * iters / elapsed
+    found = float(np.asarray(out[3]["found_pairs"]).sum())
+    candidates = sample_num * mol.qubit_ham.n_groups * steps
+    found_rate = found / elapsed
+    cand_rate = candidates / elapsed
 
-    baseline = 2.8e6  # estimated reference GPU connected-det evals/sec
+    baseline = 2.8e6  # reference found-pairs/sec estimate (BASELINE.md)
     print(
         json.dumps(
             {
                 "metric": "connected-det local-energy evals/sec/chip "
-                "(N2 STO-3G, 8192 unique dets, full VMC step)",
-                "value": round(rate, 1),
-                "unit": "evals/sec",
-                "vs_baseline": round(rate / baseline, 3),
+                "(N2 STO-3G, 16384 samples = full sector, full VMC "
+                "step incl. SR, 25-step scan)",
+                "value": round(found_rate, 1),
+                "unit": "found-pairs/sec",
+                "vs_baseline": round(found_rate / baseline, 3),
+                "candidates_per_sec": round(cand_rate, 1),
+                "sec_per_iter": round(elapsed / steps, 5),
+                "energy_last": float(np.asarray(out[3]["energy"])[-1]),
             }
         )
     )
