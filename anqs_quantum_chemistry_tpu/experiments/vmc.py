@@ -364,7 +364,7 @@ class VMC:
     def _step_body(self, params, opt_state, key, cfg, sampling_config, opt):
         key, sample_key = jax.random.split(key)
         words, weights, valid, stats = sample(
-            self.anqs, params, sample_key, sampling_config
+            self.anqs, params, sample_key, sampling_config, mesh=self.mesh
         )
 
         if cfg.couple_spin_flip:

@@ -93,7 +93,7 @@ def _expand_words_dyn(anqs: ANQS, words, parent_idx, cont, q):
 
 
 def gumbel_top_k_sample(
-    anqs: ANQS, params, key, sample_num: int
+    anqs: ANQS, params, key, sample_num: int, mesh=None
 ) -> GumbelSample:
     """Exactly the ``sample_num`` distinct most-probable-by-Gumbel states.
 
@@ -101,7 +101,16 @@ def gumbel_top_k_sample(
     forward + top_k serves all qudit steps, keeping the compiled program
     size independent of qudit count (vs the reference's Python loop,
     abstract_anqs.py:690-776).
+
+    With a ``mesh``, the frontier is sharded over the data axis: each
+    device expands and scores its own prefix rows (the network forward is
+    the dominant cost and parallelizes perfectly); the global top-k over
+    Gumbel keys is the one collective per qudit step (SURVEY.md section 2
+    "sampling parallelism"). GSPMD keeps semantics identical to the
+    replicated run.
     """
+    from ..parallel.mesh import shard_rows
+
     k_cap = sample_num
     d = anqs.max_dim
     words = jnp.zeros((k_cap, anqs.n_words), dtype=bitops.UINT)
@@ -112,6 +121,9 @@ def gumbel_top_k_sample(
     def body(carry, xs):
         words, memo, logp, gumbel = carry
         q, sub = xs
+        words, memo, logp, gumbel = shard_rows(
+            (words, memo, logp, gumbel), mesh
+        )
         mask_q = jnp.take(anqs.mask_tables, q, axis=0)  # (S, D)
         trans_q = jnp.take(anqs.trans_tables, q, axis=0)  # (S, D)
         mask = mask_q[memo] & (logp > 0.5 * NEG)[:, None]
@@ -119,6 +131,7 @@ def gumbel_top_k_sample(
         child_logp = jnp.maximum(logp[:, None] + 2.0 * cond, NEG)
         child_gumbel = _gumbels_given_max(sub, child_logp, gumbel)
         child_gumbel = jnp.where(child_logp > 0.5 * NEG, child_gumbel, NEG)
+        child_gumbel = shard_rows(child_gumbel, mesh)
 
         top_g, top_idx = jax.lax.top_k(child_gumbel.reshape(-1), k_cap)
         parent = top_idx // d
@@ -276,14 +289,17 @@ class SamplingConfig:
     budget: Optional[int] = None  # multinomial budget (defaults sample_num)
 
 
-def sample(anqs: ANQS, params, key, config: SamplingConfig):
+def sample(anqs: ANQS, params, key, config: SamplingConfig, mesh=None):
     """Unified entry: returns (words, weights, valid, stats dict).
 
     ``weights`` are normalized frequencies: theoretical |psi|^2 renorm for
-    gumbel mode, empirical counts/budget for multinomial mode.
+    gumbel mode, empirical counts/budget for multinomial mode. ``mesh``
+    shards the gumbel frontier over the data axis (see gumbel_top_k_sample).
     """
     if config.mode == "gumbel":
-        out = gumbel_top_k_sample(anqs, params, key, config.sample_num)
+        out = gumbel_top_k_sample(
+            anqs, params, key, config.sample_num, mesh=mesh
+        )
         weights = jnp.where(out.valid, jnp.exp(out.log_probs), 0.0)
         stats = {"unique_num": jnp.sum(out.valid), "dropped": 0}
         return out.words, weights, out.valid, stats
