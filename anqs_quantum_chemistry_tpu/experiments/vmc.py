@@ -47,6 +47,12 @@ class VMCConfig(Config):
     sample_num: int = 2000
     sampling_mode: str = "gumbel"
     multinomial_budget: Optional[int] = None
+    # Adaptive multinomial budget (reference sample_precisely,
+    # calculations/sample.py:62-75): grow/shrink the budget between
+    # iterations until >= target_unique distinct states are sampled. The
+    # budget is a traced scalar, so retuning never recompiles.
+    sample_precisely: bool = False
+    target_unique: Optional[int] = None  # default: sample_num // 2
     symmetry_level: str = "e_num_spin"
     qubit_per_qudit: int = 6
     opt_type: str = "adam"
@@ -262,16 +268,20 @@ class VMC:
         if key not in self._step_cache:
             opt = self._make_opt(eff)
 
-            def impl(params, opt_state, key_, consts):
+            def impl(params, opt_state, key_, consts, budget):
                 with self._bound_consts(consts):
                     return self._step_body(
-                        params, opt_state, key_, eff, samp, opt
+                        params, opt_state, key_, eff, samp, opt,
+                        budget=budget,
                     )
 
             jitted = jax.jit(impl)
 
             def call(params, opt_state, key_):
-                return jitted(params, opt_state, key_, self.device_consts())
+                return jitted(
+                    params, opt_state, key_, self.device_consts(),
+                    jnp.asarray(self._current_budget(eff), jnp.int32),
+                )
 
             self._step_cache[key] = {
                 "call": call, "eff": eff, "samp": samp, "opt": opt,
@@ -289,11 +299,13 @@ class VMC:
             self._get_step(overrides)
             opt = self._step_cache[key0]["opt"]
 
-            def run_n_impl(params, opt_state, key_, consts):
+            def run_n_impl(params, opt_state, key_, consts, budget):
                 with self._bound_consts(consts):
                     def body(state, _):
                         p, o, k2 = state
-                        out = self._step_body(p, o, k2, eff, samp, opt)
+                        out = self._step_body(
+                            p, o, k2, eff, samp, opt, budget=budget
+                        )
                         p, o, k2, metrics = out[:4]
                         return (p, o, k2), metrics
 
@@ -306,7 +318,10 @@ class VMC:
             jitted = jax.jit(run_n_impl)
 
             def call(params, opt_state, key_):
-                return jitted(params, opt_state, key_, self.device_consts())
+                return jitted(
+                    params, opt_state, key_, self.device_consts(),
+                    jnp.asarray(self._current_budget(eff), jnp.int32),
+                )
 
             self._multi_step_cache[key] = call
         return self._multi_step_cache[key]
@@ -361,10 +376,38 @@ class VMC:
             self.opt,
         )
 
-    def _step_body(self, params, opt_state, key, cfg, sampling_config, opt):
+    def _current_budget(self, cfg) -> int:
+        """Host-side multinomial budget (mutated by sample_precisely)."""
+        if getattr(self, "_mult_budget", None) is None:
+            self._mult_budget = int(
+                cfg.multinomial_budget or cfg.sample_num
+            )
+        return self._mult_budget
+
+    def _adapt_budget(self, cfg, unique_num: float):
+        """Reference sample_precisely (calculations/sample.py:62-75):
+        rescale the budget toward the unique-count target between
+        iterations; traced budget means no recompile."""
+        if not (
+            cfg.sample_precisely and cfg.sampling_mode == "multinomial"
+        ):
+            return
+        target = cfg.target_unique or cfg.sample_num // 2
+        u = max(1.0, float(unique_num))
+        scale = min(4.0, max(0.25, target / u))
+        self._mult_budget = int(
+            min(max(self._mult_budget * scale, cfg.sample_num), 1 << 24)
+        )
+
+    def _step_body(
+        self, params, opt_state, key, cfg, sampling_config, opt,
+        budget=None,
+    ):
         key, sample_key = jax.random.split(key)
         words, weights, valid, stats = sample(
-            self.anqs, params, sample_key, sampling_config, mesh=self.mesh
+            self.anqs, params, sample_key, sampling_config,
+            mesh=self.mesh,
+            budget=budget if sampling_config.mode == "multinomial" else None,
         )
 
         if cfg.couple_spin_flip:
@@ -444,6 +487,10 @@ class VMC:
             hf_found[0], e.e_re[jnp.clip(hf_idx[0], 0, la.shape[0] - 1)],
             jnp.nan,
         )
+        # Always-defined HF diagnostic (hf_proj_energy is NaN whenever the
+        # HF determinant is missed by the sampler): log|psi(HF)| from a
+        # one-row forward.
+        hf_la, _ = self.anqs.log_psi(params, self.hf_words)
 
         metrics = {
             "energy": mean_re,
@@ -456,6 +503,8 @@ class VMC:
             "grad_norm": optax.global_norm(grads),
             "max_log_abs": jnp.max(jnp.where(valid, la, -jnp.inf)),
             "ipr": jnp.sum(freqs**2),
+            "dropped": jnp.asarray(stats["dropped"], jnp.int32),
+            "hf_log_abs": hf_la[0],
         }
         if cfg.full_energy_period:
             # Hand the iterate's own sample (and its pre-update amplitudes)
@@ -623,6 +672,7 @@ class VMC:
                     )
             overrides = self._schedule_overrides(it)
             boundary = self._next_boundary(it)
+            eff_cfg = self._step_configs(overrides)[1]
             if steps_per_call > 1:
                 k_steps = int(min(steps_per_call, iter_num - it,
                                   boundary - it))
@@ -638,6 +688,9 @@ class VMC:
                         {k: float(v[j]) for k, v in stacked.items()},
                         params, opt_state, key,
                     )
+                self._adapt_budget(
+                    eff_cfg, stacked["unique_num"][-1]
+                )
                 it += k_steps
             else:
                 params_prev = params
@@ -660,6 +713,7 @@ class VMC:
                     row["full_energy"] = float(fe_re)
                     row["full_energy_var"] = float(fe_var)
                 handle_row(it, row, params, opt_state, key)
+                self._adapt_budget(eff_cfg, row["unique_num"])
                 it += 1
             if profile_iters and it > profile_iters[1] and self.run_dir:
                 jax.block_until_ready(params)

@@ -41,6 +41,12 @@ class AnqsConfig:
     subtract_mean: bool = True
     compute_dtype: str = "float32"
     masking_mode: str = "masked"  # 'masked' (MU) or 'unmasked' (DU)
+    # Per-qudit local sampling pattern: the LAST ``masking_depth`` qudits
+    # sample/normalize unmasked (DU) while the head stays masked-unique --
+    # the reference's knob for peaked wavefunctions where tail masking
+    # overhead outweighs the symmetry projection
+    # (reference LocalSamplingConfig, abstract_anqs.py:18-50).
+    masking_depth: int = 0
     # Spin-flip (alpha<->beta) symmetrization of the ansatz itself
     # (reference SpinFlipSymmetryConfig, abstract_anqs.py:53-67; conditional
     # coupling :320-326, phase coupling :466-474):
@@ -105,6 +111,17 @@ class ANQS:
             grouping.qudit_starts, dtype=jnp.int32
         )
         self.max_width = int(max(grouping.qudit_widths))
+
+        # Per-qudit masked-unique flags (MU pattern): all-masked, except a
+        # DU tail of length masking_depth; masking_mode='unmasked' is the
+        # all-DU limit.
+        mu = np.ones(self.qudit_num, dtype=bool)
+        if self.config.masking_mode == "unmasked":
+            mu[:] = False
+        elif self.config.masking_depth:
+            assert 0 <= self.config.masking_depth <= self.qudit_num
+            mu[self.qudit_num - self.config.masking_depth:] = False
+        self.mu_flags = jnp.asarray(mu)
 
         self.spin_flip_abs = self.config.spin_flip_abs
         self.spin_flip_phase = self.config.spin_flip_phase
@@ -254,8 +271,7 @@ class ANQS:
         """Packed states (B, W) -> (log_abs (B,), phase (B,))."""
         la_raw = self.main_log_abs_raw(params, words)
         _, masks = self.memo_path(words)
-        if self.config.masking_mode == "unmasked":
-            masks = jnp.ones_like(masks)
+        masks = masks | ~self.mu_flags[None, :, None]  # DU qudits unmasked
         masks = masks & self.pad_masks[None]
         cond = self.normalize_cond(la_raw, masks)
         vals = self.qudit_values(words)
@@ -338,11 +354,18 @@ class ANQS:
         mask = mask & self.pad_masks[q][None]
         return self.normalize_cond(la_raw[:, q], mask)
 
-    def cond_for_qudit_dyn(self, params, words, q, mask):
+    def cond_for_qudit_dyn(self, params, words, q, mask, alive=None):
         """``cond_for_qudit`` with a *traced* qudit index ``q`` -- the
         lax.scan form used by the samplers (one traced network forward for
-        the whole ancestral loop instead of Q unrolled copies)."""
+        the whole ancestral loop instead of Q unrolled copies).
+
+        ``alive`` (optional (B,) bool) marks live frontier rows; DU qudits
+        (mu_flags False) drop the symmetry mask but keep alive gating.
+        """
         la_raw = self.main_log_abs_raw(params, words)
         la_q = jnp.take(la_raw, q, axis=1)
         pad_q = jnp.take(self.pad_masks, q, axis=0)
+        if alive is not None:
+            mu_q = jnp.take(self.mu_flags, q)
+            mask = (mask | ~mu_q) & alive[:, None]
         return self.normalize_cond(la_q, mask & pad_q[None])

@@ -79,10 +79,10 @@ def sr_transform(
     sqrt_f = jnp.sqrt(f)[:, None]
     # Natural scaling (no eps^-1 inside O): with O' = diag(sqrt f) conj(J),
     # MinSR reads grad <- eps^-1 [g - O'^dag (eps I + O' O'^dag)^-1 O' g],
-    # algebraically identical to the reference form (sr.py:121-128) but
-    # numerically stable in float32 via an eigendecomposition of the tiny
-    # Hermitian S = O' O'^dag. (f64 linear algebra does not compile on this
-    # TPU toolchain: "Only F32 and C64 implemented in LuDecomposition".)
+    # algebraically identical to the reference form (sr.py:121-128). The
+    # tiny Hermitian S = O' O'^dag is solved by Jacobi-prescaled f32 LU
+    # below (f64 linear algebra does not compile on this TPU toolchain:
+    # "Only F32 and C64 implemented in LuDecomposition").
     o_re = sqrt_f * j_la
     o_im = sqrt_f * j_ph
 

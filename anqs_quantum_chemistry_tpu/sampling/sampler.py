@@ -126,8 +126,10 @@ def gumbel_top_k_sample(
         )
         mask_q = jnp.take(anqs.mask_tables, q, axis=0)  # (S, D)
         trans_q = jnp.take(anqs.trans_tables, q, axis=0)  # (S, D)
-        mask = mask_q[memo] & (logp > 0.5 * NEG)[:, None]
-        cond = anqs.cond_for_qudit_dyn(params, words, q, mask)
+        alive = logp > 0.5 * NEG
+        cond = anqs.cond_for_qudit_dyn(
+            params, words, q, mask_q[memo], alive=alive
+        )
         child_logp = jnp.maximum(logp[:, None] + 2.0 * cond, NEG)
         child_gumbel = _gumbels_given_max(sub, child_logp, gumbel)
         child_gumbel = jnp.where(child_logp > 0.5 * NEG, child_gumbel, NEG)
@@ -247,11 +249,15 @@ def _multinomial_core(anqs: ANQS, params, key, k_cap: int, budget):
         q, sub = xs
         mask_q = jnp.take(anqs.mask_tables, q, axis=0)
         trans_q = jnp.take(anqs.trans_tables, q, axis=0)
-        pad_q = jnp.take(anqs.pad_masks, q, axis=0)
-        mask = mask_q[memo] & (counts > 0)[:, None]
-        cond = anqs.cond_for_qudit_dyn(params, words, q, mask)
-        probs = jnp.exp(2.0 * jnp.maximum(cond, -40.0))
-        probs = jnp.where(mask & pad_q[None], probs, 0.0)
+        alive = counts > 0
+        cond = anqs.cond_for_qudit_dyn(
+            params, words, q, mask_q[memo], alive=alive
+        )
+        probs = jnp.where(
+            cond > 0.5 * NEG,
+            jnp.exp(2.0 * jnp.maximum(cond, -40.0)),
+            0.0,
+        )
         child_counts = _binomial_bisect(sub, counts, probs, k_bits)
         child_counts = jnp.where(
             counts[:, None] > 0, child_counts, 0
@@ -289,12 +295,17 @@ class SamplingConfig:
     budget: Optional[int] = None  # multinomial budget (defaults sample_num)
 
 
-def sample(anqs: ANQS, params, key, config: SamplingConfig, mesh=None):
+def sample(
+    anqs: ANQS, params, key, config: SamplingConfig, mesh=None,
+    budget=None,
+):
     """Unified entry: returns (words, weights, valid, stats dict).
 
     ``weights`` are normalized frequencies: theoretical |psi|^2 renorm for
     gumbel mode, empirical counts/budget for multinomial mode. ``mesh``
     shards the gumbel frontier over the data axis (see gumbel_top_k_sample).
+    ``budget`` (a possibly-traced int32 scalar) overrides the multinomial
+    budget -- the hook for adaptive sample_precisely without recompiles.
     """
     if config.mode == "gumbel":
         out = gumbel_top_k_sample(
@@ -304,9 +315,15 @@ def sample(anqs: ANQS, params, key, config: SamplingConfig, mesh=None):
         stats = {"unique_num": jnp.sum(out.valid), "dropped": 0}
         return out.words, weights, out.valid, stats
     if config.mode == "multinomial":
-        out = multinomial_sample(
-            anqs, params, key, config.sample_num, config.budget
-        )
+        if budget is None:
+            out = multinomial_sample(
+                anqs, params, key, config.sample_num, config.budget
+            )
+        else:
+            out = _multinomial_core(
+                anqs, params, key, config.sample_num,
+                jnp.asarray(budget, jnp.int32),
+            )
         total = jnp.maximum(jnp.sum(out.counts), 1)
         weights = out.counts.astype(jnp.float32) / total
         stats = {"unique_num": jnp.sum(out.valid), "dropped": out.dropped}

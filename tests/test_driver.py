@@ -165,3 +165,76 @@ def test_full_energy_reuses_sample(tmp_path):
     np.testing.assert_allclose(
         row["full_energy"], row["energy"], rtol=1e-5
     )
+
+
+def test_sample_precisely_adapts_budget(tmp_path):
+    """Multinomial + sample_precisely: the budget grows until the unique
+    count reaches the target (reference sample.py:62-75, integrated into
+    the training loop as a traced scalar -- no recompiles)."""
+    vmc = make_vmc(
+        tmp_path,
+        iter_num=6,
+        sampling_mode="multinomial",
+        sample_num=4,
+        sample_precisely=True,
+        target_unique=3,
+    )
+    budgets = []
+    real_adapt = vmc._adapt_budget
+
+    def spy(cfg, u):
+        real_adapt(cfg, u)
+        budgets.append(vmc._mult_budget)
+
+    vmc._adapt_budget = spy
+    _, _, history, _ = vmc.run(checkpoint_every=None)
+    assert len(history) == 6
+    # budget stays a host value; all steps reused ONE compiled program
+    assert len(vmc._step_cache) == 1
+    assert all(b >= 4 for b in budgets)
+    # once unique count meets the target the budget stabilizes (bounded)
+    assert budgets[-1] <= 1 << 24
+
+
+def test_masking_depth_du_tail():
+    """masking_depth: tail qudits normalize unmasked; distribution stays
+    normalized over the enlarged support and head qudits stay masked."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from anqs_quantum_chemistry_tpu.models import ANQS, AnqsConfig
+    from anqs_quantum_chemistry_tpu.ops import bits as bitops
+    from anqs_quantum_chemistry_tpu.symmetries import (
+        Masker,
+        QubitGrouping,
+        particle_number_symmetry,
+        spin_projection_symmetry,
+    )
+
+    n = 8
+    masker = Masker(
+        [
+            particle_number_symmetry(n, 2),
+            spin_projection_symmetry(n, 0),
+        ]
+    )
+    grouping = QubitGrouping.create(masker, qubit_per_qudit=2)
+    anqs = ANQS(
+        grouping, AnqsConfig(hidden_widths=(8,), masking_depth=2)
+    )
+    params = anqs.init(jax.random.PRNGKey(0))
+    x = np.array(
+        list(itertools.product([0, 1], repeat=n)), dtype=np.int64
+    )[:, ::-1]
+    words = bitops.pack(jnp.asarray(np.ascontiguousarray(x)))
+    la, _ = anqs.log_psi(params, words)
+    probs = np.exp(2 * np.asarray(la, np.float64))
+    np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-3)
+    # Head (first 2 qudits = 4 qubits) still masked: overshooting the
+    # 2-electron budget within the head has zero probability.
+    head_count = x[:, :4].sum(axis=1)
+    assert probs[head_count > 2].max() < 1e-20
+    # DU tail admits some states outside the exact sector.
+    phys = masker.is_physical(x)
+    assert probs[~phys].sum() > 1e-6
