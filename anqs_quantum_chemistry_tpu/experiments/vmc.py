@@ -539,6 +539,122 @@ class VMC:
         )
 
     # ------------------------------------------------------------------
+    def profile_stages(self, reps: int = 10):
+        """Per-stage wall-time breakdown of the training step (ms).
+
+        The reference attributes time to pipeline phases via @timed
+        decorators around eager torch calls (LocalEnergyMetrics,
+        pauli_observable.py:25-86); under one fused jit that decomposition
+        doesn't exist per iteration, so this measures each stage as its own
+        jitted ``lax.scan`` over ``reps`` repetitions with evolving state --
+        the only honest protocol on this TPU tunnel, where repeated
+        identical dispatches are served from a result-replay cache.
+        """
+        import time as _time
+
+        params, opt_state, key = self.init_state()
+        anqs, engine = self.anqs, self.engine
+        cfgsamp = self.sampling_config
+        consts = self.device_consts()
+
+        def timed(make_body, carry0):
+            def run_impl(c0, cs):
+                with self._bound_consts(cs):
+                    def f(c, i):
+                        return make_body(c, i), ()
+                    c, _ = jax.lax.scan(
+                        f, c0, jnp.arange(reps, dtype=jnp.int32)
+                    )
+                    return c
+            run = jax.jit(run_impl)
+            out = run(carry0, consts)
+            jax.block_until_ready(out)
+            t0 = _time.perf_counter()
+            out = run(out, consts)
+            jax.block_until_ready(out)
+            return (_time.perf_counter() - t0) / reps * 1e3
+
+        res = {}
+
+        def body_sample(c, i):
+            k, acc = c
+            k, sub = jax.random.split(k)
+            words, weights, valid, _ = sample(anqs, params, sub, cfgsamp)
+            return k, acc + jnp.sum(words[:, 0]).astype(jnp.float32)
+
+        res["sample_ms"] = timed(body_sample, (key, jnp.float32(0)))
+
+        words, weights, valid, _ = sample(
+            anqs, params, jax.random.PRNGKey(1), cfgsamp
+        )
+        sentinel = jnp.full_like(words, bitops.UINT(0xFFFFFFFF))
+        sw, _, _, sv = keys.sort_words(
+            jnp.where(valid[:, None], words, sentinel),
+            weights, valid.astype(jnp.int32),
+        )
+        sv = sv.astype(bool)
+        la, ph = anqs.log_psi(params, sw)
+        sw, sv, la, ph = jax.block_until_ready((sw, sv, la, ph))
+
+        def body_sort(c, i):
+            w = jnp.roll(sw, i + 1, axis=0)
+            s2, _, v2 = keys.sort_words(w, sv.astype(jnp.int32))
+            return c + s2[:, 0].astype(jnp.float32).sum()
+
+        res["sort_ms"] = timed(body_sort, jnp.float32(0))
+
+        def body_logpsi(c, i):
+            la2, _ = anqs.log_psi(params, jnp.roll(sw, i + 1, axis=0))
+            return c + la2.sum()
+
+        res["log_psi_ms"] = timed(body_logpsi, jnp.float32(0))
+
+        def body_me(c, i):
+            me = engine.matrix_elements(jnp.roll(sw, i + 1, axis=0))
+            return c + me.sum()
+
+        res["matrix_elements_ms"] = timed(body_me, jnp.float32(0))
+
+        def body_eloc(c, i):
+            e = engine.local_energy_proxy(sw, la + c * 1e-12, ph, sv)
+            return c + e.e_re.sum()
+
+        res["local_energy_ms"] = timed(body_eloc, jnp.float32(0))
+
+        freqs = jnp.where(sv, jnp.exp(2.0 * la), 0.0)
+        freqs = freqs / jnp.maximum(freqs.sum(), 1e-30)
+
+        def body_grad(c, i):
+            def loss_fn(p):
+                la2, ph2 = anqs.log_psi(p, sw)
+                return jnp.sum(freqs * (la2 * (1.0 + c) + ph2))
+
+            g = jax.grad(loss_fn)(params)
+            return c + jax.tree_util.tree_reduce(
+                lambda a, b: a + b.sum(), g, jnp.float32(0)
+            )
+
+        res["grad_ms"] = timed(body_grad, jnp.float32(0))
+
+        if self.config.sr is not None:
+            g0 = jax.grad(
+                lambda p: jnp.sum(freqs * anqs.log_psi(p, sw)[0])
+            )(params)
+            g0 = jax.block_until_ready(g0)
+
+            def body_sr(c, i):
+                g = jax.tree_util.tree_map(lambda a: a + c * 1e-12, g0)
+                g2 = sr_transform(
+                    anqs, params, g, sw, freqs, self.config.sr
+                )
+                return c + jax.tree_util.tree_reduce(
+                    lambda a, b: a + b.sum(), g2, jnp.float32(0)
+                )
+
+            res["sr_ms"] = timed(body_sr, jnp.float32(0))
+        return res
+
+    # ------------------------------------------------------------------
     def save_checkpoint(self, path: str, params, opt_state, key, it: int):
         """Orbax checkpoint of (params, opt state, PRNG key, iteration) --
         the resume-capable upgrade over the reference's state_dict snapshots

@@ -66,3 +66,36 @@ def test_nade_normalization_and_causality():
 
 def test_transformer_normalization_and_causality():
     check_normalization("transformer")
+
+
+def test_ensemble_heads():
+    """vmap-based multi-head ensemble: H independent heads evaluated in one
+    batched call, each matching its individually-evaluated counterpart
+    (replaces the reference MultiHeadLinear / multi-head MLP,
+    multi_head_linear.py:6-31, multi_head_mlp.py:11-207)."""
+    from anqs_quantum_chemistry_tpu.models.ensemble import (
+        ensemble_init,
+        ensemble_log_psi,
+    )
+
+    n, h = 6, 3
+    masker, anqs, _ = build("made", n)
+    stacked = ensemble_init(anqs, jax.random.PRNGKey(9), h)
+    x = np.array(list(itertools.product([0, 1], repeat=n)), dtype=np.int64)[
+        :, ::-1
+    ][:12]
+    words = bitops.pack(jnp.asarray(np.ascontiguousarray(x)))
+    la_h, ph_h = ensemble_log_psi(anqs, stacked, words)
+    assert la_h.shape == (h, 12)
+    # Head i of the stack == the same params evaluated alone.
+    for i in range(h):
+        params_i = jax.tree_util.tree_map(lambda a: a[i], stacked)
+        la_i, ph_i = anqs.log_psi(params_i, words)
+        np.testing.assert_allclose(
+            np.asarray(la_h[i]), np.asarray(la_i), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ph_h[i]), np.asarray(ph_i), atol=1e-6
+        )
+    # Heads differ (independent initializations).
+    assert np.abs(np.asarray(la_h[0] - la_h[1])).max() > 1e-3

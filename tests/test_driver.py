@@ -238,3 +238,15 @@ def test_masking_depth_du_tail():
     # DU tail admits some states outside the exact sector.
     phys = masker.is_physical(x)
     assert probs[~phys].sum() > 1e-6
+
+
+def test_profile_stages():
+    """Per-stage profiler returns positive timings for every stage."""
+    vmc = make_vmc(sr=SRConfig(max_indices_num=4))
+    res = vmc.profile_stages(reps=2)
+    expected = {
+        "sample_ms", "sort_ms", "log_psi_ms", "matrix_elements_ms",
+        "local_energy_ms", "grad_ms", "sr_ms",
+    }
+    assert set(res) == expected
+    assert all(v > 0 for v in res.values())
