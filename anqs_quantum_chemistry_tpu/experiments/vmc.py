@@ -448,9 +448,22 @@ class VMC:
         theor = jnp.where(valid, jnp.exp(2.0 * la), 0.0)
         if cfg.use_theor_freqs:
             freqs = theor / jnp.maximum(jnp.sum(theor), 1e-30)
+            # Born-weighted estimators in the overflow-free numerator form
+            # (p_x E_x = a_x t_x; p_x |E_x|^2 = |t_x|^2): variance stays
+            # finite even when near-zero-amplitude samples make the ratio
+            # form E_loc blow up.
+            a_x = jnp.where(valid, jnp.exp(la), 0.0)
+            denom = jnp.maximum(jnp.sum(a_x**2), 1e-30)
+            mean_re = jnp.sum(a_x * e.t_re) / denom
+            mean_im = jnp.sum(a_x * e.t_im) / denom
+            var = (
+                jnp.sum(e.t_re**2 + e.t_im**2) / denom
+                - mean_re**2
+                - mean_im**2
+            )
         else:
             freqs = weights / jnp.maximum(jnp.sum(weights), 1e-30)
-        mean_re, mean_im, var = mc_estimate(e.e_re, e.e_im, freqs)
+            mean_re, mean_im, var = mc_estimate(e.e_re, e.e_im, freqs)
 
         d_re = jnp.where(valid, e.e_re - mean_re, 0.0)
         d_im = jnp.where(valid, e.e_im - mean_im, 0.0)

@@ -39,9 +39,19 @@ from ..ops import keys
 
 
 class LocalEnergies(NamedTuple):
-    e_re: jnp.ndarray  # (B,)
+    e_re: jnp.ndarray  # (B,) E_loc(x) (ratio form, clipped; diagnostics)
     e_im: jnp.ndarray  # (B,)
     found_pairs: jnp.ndarray  # () int32: connected determinants found
+    # Overflow-free numerators t_x = |psi(x)| * E_loc(x) (exact: every term
+    # is me * exp(la_x or la_p) with la <= 0, so no exp ratio ever blows
+    # up). Born-weighted estimators should use these: mean = sum(a t) /
+    # sum(a^2), var = sum(|t|^2)/sum(a^2) - |mean|^2 with a = exp(la).
+    t_re: jnp.ndarray = jnp.float32(0)
+    t_im: jnp.ndarray = jnp.float32(0)
+    # keys dropped by hash-bucket overflow (0 for table/search membership;
+    # expected 0 for hash at the dimensioned load factor -- logged so any
+    # bias is visible)
+    table_overflow: jnp.ndarray = jnp.int32(0)
 
 
 class PauliEngine:
@@ -69,7 +79,7 @@ class PauliEngine:
             membership = (
                 "table"
                 if ham.qubit_num <= self.MAX_TABLE_QUBITS
-                else "search"
+                else "hash"
             )
         self.membership = membership
 
@@ -198,6 +208,8 @@ class PauliEngine:
         """
         if self.membership == "table":
             return self._proxy_via_table(sorted_words, log_abs, phase, valid)
+        if self.membership == "hash":
+            return self._proxy_via_hash(sorted_words, log_abs, phase, valid)
         b, w = sorted_words.shape
         m = self.a_words.shape[0]
 
@@ -264,6 +276,96 @@ class PauliEngine:
         me = self.matrix_elements(words)
         return self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
 
+    def _proxy_via_hash(self, words, log_abs, phase, valid):
+        """Membership via bucketed hash rows -- any qubit count.
+
+        Same single-row-gather cost model as the direct-address table, but
+        the row is a HASH BUCKET: 128 lanes hold ``epb`` entries of
+        (key words bitcast to f32, log|psi|, phase). Build: samples are
+        ranked within their bucket by a stable sort over bucket ids and
+        scattered to (bucket, rank) slots. Query: gather the bucket row of
+        each connected key, compare the key lanes, select the matching
+        entry's amplitude lanes. Buckets are dimensioned to ~25% average
+        load; overflow beyond ``epb`` entries (Poisson tail, ~1e-11 at
+        these sizes) is counted in ``table_overflow``.
+        """
+        b, w = words.shape
+        assert w <= 2, "hash membership supports <= 64 qubits so far"
+        entry_lanes = 4  # (key_lo, key_hi, log_abs, phase)
+        epb = 128 // entry_lanes  # 32 entries per bucket
+        nb = 1 << max(8, (4 * b // epb - 1).bit_length())
+        neg = jnp.float32(-1e30)
+
+        def hash_bucket(ws):  # (..., w) uint32 -> (...,) int32
+            acc = jnp.zeros(ws.shape[:-1], jnp.uint32)
+            for j in range(w):
+                acc = (acc ^ ws[..., j]) * jnp.uint32(2654435761)
+                acc = acc ^ (acc >> jnp.uint32(15))
+            acc = acc * jnp.uint32(2246822519)
+            acc = acc ^ (acc >> jnp.uint32(13))
+            return (acc & jnp.uint32(nb - 1)).astype(jnp.int32)
+
+        bucket = jnp.where(valid, hash_bucket(words), nb)
+        iota = jnp.arange(b, dtype=jnp.int32)
+        sorted_b, sorted_i = jax.lax.sort(
+            (bucket, iota), num_keys=1, is_stable=True
+        )
+        run_start = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_b[1:] != sorted_b[:-1]]
+        )
+        start_idx = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(run_start, iota, 0)
+        )
+        rank_sorted = iota - start_idx
+        rank = jnp.zeros(b, jnp.int32).at[sorted_i].set(rank_sorted)
+        overflow = valid & (rank >= epb)
+        lane = rank * entry_lanes
+
+        # Lane pattern: key lanes read as f32 bitcasts; emptiness is
+        # signaled by log_abs == NEG (a stored key lane of zeros cannot
+        # false-positive because its la lane stays NEG).
+        tab = jnp.full((nb, 128), neg, dtype=jnp.float32)
+        row_i = jnp.where(valid & ~overflow, bucket, nb)
+        k_lo = jax.lax.bitcast_convert_type(words[:, 0], jnp.float32)
+        k_hi = jax.lax.bitcast_convert_type(
+            words[:, 1] if w == 2 else jnp.zeros_like(words[:, 0]),
+            jnp.float32,
+        )
+        tab = tab.at[row_i, lane].set(k_lo, mode="drop")
+        tab = tab.at[row_i, lane + 1].set(k_hi, mode="drop")
+        tab = tab.at[row_i, lane + 2].set(
+            jnp.where(valid, log_abs, neg), mode="drop"
+        )
+        tab = tab.at[row_i, lane + 3].set(phase, mode="drop")
+
+        xp_lo = words[:, 0][:, None] ^ self.a_words[:, 0][None, :]
+        if w == 2:
+            xp_hi = words[:, 1][:, None] ^ self.a_words[:, 1][None, :]
+        else:
+            xp_hi = jnp.zeros_like(xp_lo)
+        q_bucket = hash_bucket(jnp.stack([xp_lo, xp_hi][:w], axis=-1))
+        rows_g = tab[q_bucket]  # (B, M, 128)
+
+        ent = rows_g.reshape(*rows_g.shape[:-1], epb, entry_lanes)
+        keys_lo = jax.lax.bitcast_convert_type(ent[..., 0], jnp.uint32)
+        keys_hi = jax.lax.bitcast_convert_type(ent[..., 1], jnp.uint32)
+        la_e = ent[..., 2]
+        match = (
+            (keys_lo == xp_lo[..., None])
+            & (keys_hi == xp_hi[..., None])
+            & (la_e > 0.5 * neg)
+        )
+        la_p = jnp.sum(jnp.where(match, la_e, 0.0), axis=-1)
+        ph_p = jnp.sum(jnp.where(match, ent[..., 3], 0.0), axis=-1)
+        found = jnp.any(match, axis=-1) & valid[:, None]
+        la_p = jnp.where(found, la_p, neg)
+
+        me = self.matrix_elements(words)
+        out = self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
+        return out._replace(
+            table_overflow=jnp.sum(overflow).astype(jnp.int32)
+        )
+
     def _combine(self, me, la_p, ph_p, found, log_abs, phase, valid):
         ratio = jnp.exp(
             jnp.clip(
@@ -276,10 +378,21 @@ class PauliEngine:
         e_im = jnp.sum(contrib * jnp.sin(dph), axis=1)
         e_re = jnp.where(valid, e_re, 0.0)
         e_im = jnp.where(valid, e_im, 0.0)
+
+        # Stable numerators: t_x = a_x E_x = C a_x + sum_m me a_p e^{i dph}
+        # with a = exp(la) <= 1 -- bounded by sum |me|, no ratios.
+        a_x = jnp.where(valid, jnp.exp(log_abs), 0.0)
+        amp_p = jnp.where(found, jnp.exp(la_p) * me, 0.0)
+        t_re = self.constant * a_x + jnp.sum(amp_p * jnp.cos(dph), axis=1)
+        t_im = jnp.sum(amp_p * jnp.sin(dph), axis=1)
+        t_re = jnp.where(valid, t_re, 0.0)
+        t_im = jnp.where(valid, t_im, 0.0)
         return LocalEnergies(
             e_re=e_re,
             e_im=e_im,
             found_pairs=jnp.sum(found & valid[:, None]),
+            t_re=t_re,
+            t_im=t_im,
         )
 
     # ------------------------------------------------------------------

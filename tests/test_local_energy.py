@@ -207,3 +207,80 @@ def test_membership_table_matches_search():
         np.asarray(e_table.e_im), np.asarray(e_search.e_im), atol=1e-5
     )
     assert int(e_table.found_pairs) == int(e_search.found_pairs)
+
+
+def test_membership_hash_matches_search():
+    """Bucketed-hash membership (any qubit count) == sorted binary search,
+    on a 14-qubit molecule (W=1) and a 40-qubit embedding (W=2)."""
+    import jax.numpy as jnp
+
+    from anqs_quantum_chemistry_tpu.chem.jw import (
+        jordan_wigner_pauli_hamiltonian,
+    )
+    from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+    from anqs_quantum_chemistry_tpu.observables.pauli import PauliEngine
+    from anqs_quantum_chemistry_tpu.ops import bits as bitops, keys
+
+    rng = np.random.default_rng(11)
+
+    def check(ham, n, n_samp=64):
+        bits = rng.integers(0, 2, size=(n_samp, n))
+        words = bitops.pack(jnp.asarray(bits))
+        valid = jnp.asarray(rng.random(n_samp) < 0.9)
+        words = jnp.where(
+            valid[:, None], words,
+            jnp.full_like(words, bitops.UINT(0xFFFFFFFF)),
+        )
+        sw, _, sv = keys.sort_words(words, valid.astype(jnp.int32))
+        sv = sv.astype(bool) & keys.unique_mask(sw)
+        la = jnp.asarray(rng.standard_normal(n_samp), jnp.float32)
+        ph = jnp.asarray(rng.standard_normal(n_samp), jnp.float32)
+        e_hash = PauliEngine(ham, membership="hash").local_energy_proxy(
+            sw, la, ph, sv
+        )
+        e_search = PauliEngine(ham, membership="search").local_energy_proxy(
+            sw, la, ph, sv
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_hash.e_re), np.asarray(e_search.e_re), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_hash.e_im), np.asarray(e_search.e_im), atol=1e-5
+        )
+        assert int(e_hash.found_pairs) == int(e_search.found_pairs)
+        assert int(e_hash.table_overflow) == 0
+
+    mol = Molecule.create(
+        MolConfig(name="H2O"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+    check(mol.qubit_ham, mol.qubit_num)
+
+    # 40-qubit (2-word) embedding of a random 12-orbital problem.
+    h1 = np.zeros((40, 40))
+    sub = rng.standard_normal((12, 12))
+    h1[:12, :12] = sub + sub.T
+    v = np.zeros((40, 40, 40, 40))
+    s4 = rng.standard_normal((12,) * 4)
+    v[:12, :12, :12, :12] = s4 + s4.transpose(1, 0, 3, 2)
+    ham40 = jordan_wigner_pauli_hamiltonian(h1, v)
+    # Random states over the active 12 qubits (plus a few high bits to
+    # exercise word 1 hashing).
+    bits40 = np.zeros((64, 40), dtype=np.int64)
+    bits40[:, :12] = rng.integers(0, 2, size=(64, 12))
+    bits40[:, 35:38] = rng.integers(0, 2, size=(64, 3))
+    words40 = bitops.pack(jnp.asarray(bits40))
+    sw, _ = keys.sort_words(words40)
+    sv = keys.unique_mask(sw)
+    la = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    ph = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    e_hash = PauliEngine(ham40, membership="hash").local_energy_proxy(
+        sw, la, ph, sv
+    )
+    e_search = PauliEngine(ham40, membership="search").local_energy_proxy(
+        sw, la, ph, sv
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_hash.e_re), np.asarray(e_search.e_re), atol=1e-4
+    )
+    assert int(e_hash.found_pairs) == int(e_search.found_pairs)
