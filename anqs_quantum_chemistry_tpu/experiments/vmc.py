@@ -212,39 +212,39 @@ class VMC:
             return optax.sgd(lr)
         raise ValueError(cfg.opt_type)
 
+    def _schedules(self):
+        """The three config schedules as utils.config.Schedule objects
+        (binary-search lookup, reference experiments/__init__.py:1-11)."""
+        if not hasattr(self, "_schedule_objs"):
+            from ..utils.config import Schedule
+
+            self._schedule_objs = tuple(
+                Schedule([(int(s), dict(d)) for s, d in sched])
+                for sched in (
+                    self.config.opt_schedule,
+                    self.config.sampling_schedule,
+                    self.config.proc_grad_schedule,
+                )
+                if sched
+            )
+        return self._schedule_objs
+
     def _schedule_overrides(self, it: int) -> dict:
         """Merged override dict active at iteration ``it`` across the three
         schedules (reference resolves each by binary search every iteration,
         energy_opt_exp.py:483-501; here a change of entry means a new
         compiled program, so entries are plain {field: value} dicts)."""
         ov = {}
-        for sched in (
-            self.config.opt_schedule,
-            self.config.sampling_schedule,
-            self.config.proc_grad_schedule,
-        ):
-            if not sched:
-                continue
-            active = None
-            for start, d in sorted(sched, key=lambda e: int(e[0])):
-                if int(start) <= it:
-                    active = d
-            if active:
-                ov.update(active)
+        for sched in self._schedules():
+            ov.update(sched.at(it))
         return ov
 
     def _next_boundary(self, it: int) -> float:
         nb = float("inf")
-        for sched in (
-            self.config.opt_schedule,
-            self.config.sampling_schedule,
-            self.config.proc_grad_schedule,
-        ):
-            if not sched:
-                continue
-            for start, _ in sched:
-                if int(start) > it:
-                    nb = min(nb, int(start))
+        for sched in self._schedules():
+            for start in sched.starts:
+                if start > it:
+                    nb = min(nb, start)
         return nb
 
     def _step_configs(self, overrides: Optional[dict] = None):

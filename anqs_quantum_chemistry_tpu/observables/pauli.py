@@ -67,7 +67,8 @@ class PauliEngine:
         sign_dtype: str = "bfloat16",
         me_chunk: Optional[int] = None,
         weights_matmul: str = "split",  # 'split' | 'highest' | 'fast'
-        membership: str = "auto",  # 'auto' | 'table' | 'search'
+        membership: str = "auto",  # 'auto' | 'table' | 'hash' | 'search'
+        lookup_kernel: str = "xla",  # 'xla' | 'pallas' (hash path only)
     ):
         self.qubit_num = ham.qubit_num
         self.constant = float(ham.constant)
@@ -82,6 +83,7 @@ class PauliEngine:
                 else "hash"
             )
         self.membership = membership
+        self.lookup_kernel = lookup_kernel
 
         self.a_words = jnp.asarray(ham.a_masks)  # (M, W) uint32
 
@@ -296,16 +298,20 @@ class PauliEngine:
         nb = 1 << max(8, (4 * b // epb - 1).bit_length())
         neg = jnp.float32(-1e30)
 
-        def hash_bucket(ws):  # (..., w) uint32 -> (...,) int32
-            acc = jnp.zeros(ws.shape[:-1], jnp.uint32)
-            for j in range(w):
-                acc = (acc ^ ws[..., j]) * jnp.uint32(2654435761)
-                acc = acc ^ (acc >> jnp.uint32(15))
+        def hash_bucket(lo, hi):  # uint32 words -> int32 bucket
+            # Fixed two-round form shared with the Pallas kernel
+            # (ops/pallas_kernels.hash_lookup); hi == 0 for W == 1.
+            acc = lo * jnp.uint32(2654435761)
+            acc = acc ^ (acc >> jnp.uint32(15))
+            acc = (acc ^ hi) * jnp.uint32(2654435761)
+            acc = acc ^ (acc >> jnp.uint32(15))
             acc = acc * jnp.uint32(2246822519)
             acc = acc ^ (acc >> jnp.uint32(13))
             return (acc & jnp.uint32(nb - 1)).astype(jnp.int32)
 
-        bucket = jnp.where(valid, hash_bucket(words), nb)
+        w_lo = words[:, 0]
+        w_hi = words[:, 1] if w == 2 else jnp.zeros_like(w_lo)
+        bucket = jnp.where(valid, hash_bucket(w_lo, w_hi), nb)
         iota = jnp.arange(b, dtype=jnp.int32)
         sorted_b, sorted_i = jax.lax.sort(
             (bucket, iota), num_keys=1, is_stable=True
@@ -343,22 +349,33 @@ class PauliEngine:
             xp_hi = words[:, 1][:, None] ^ self.a_words[:, 1][None, :]
         else:
             xp_hi = jnp.zeros_like(xp_lo)
-        q_bucket = hash_bucket(jnp.stack([xp_lo, xp_hi][:w], axis=-1))
-        rows_g = tab[q_bucket]  # (B, M, 128)
+        if self.lookup_kernel == "pallas":
+            from ..ops.pallas_kernels import hash_lookup
 
-        ent = rows_g.reshape(*rows_g.shape[:-1], epb, entry_lanes)
-        keys_lo = jax.lax.bitcast_convert_type(ent[..., 0], jnp.uint32)
-        keys_hi = jax.lax.bitcast_convert_type(ent[..., 1], jnp.uint32)
-        la_e = ent[..., 2]
-        match = (
-            (keys_lo == xp_lo[..., None])
-            & (keys_hi == xp_hi[..., None])
-            & (la_e > 0.5 * neg)
-        )
-        la_p = jnp.sum(jnp.where(match, la_e, 0.0), axis=-1)
-        ph_p = jnp.sum(jnp.where(match, ent[..., 3], 0.0), axis=-1)
-        found = jnp.any(match, axis=-1) & valid[:, None]
-        la_p = jnp.where(found, la_p, neg)
+            shape = xp_lo.shape
+            la_p, ph_p, found = hash_lookup(
+                tab, xp_lo.reshape(-1), xp_hi.reshape(-1)
+            )
+            la_p = la_p.reshape(shape)
+            ph_p = ph_p.reshape(shape)
+            found = found.reshape(shape) & valid[:, None]
+        else:
+            q_bucket = hash_bucket(xp_lo, xp_hi)
+            rows_g = tab[q_bucket]  # (B, M, 128)
+
+            ent = rows_g.reshape(*rows_g.shape[:-1], epb, entry_lanes)
+            keys_lo = jax.lax.bitcast_convert_type(ent[..., 0], jnp.uint32)
+            keys_hi = jax.lax.bitcast_convert_type(ent[..., 1], jnp.uint32)
+            la_e = ent[..., 2]
+            match = (
+                (keys_lo == xp_lo[..., None])
+                & (keys_hi == xp_hi[..., None])
+                & (la_e > 0.5 * neg)
+            )
+            la_p = jnp.sum(jnp.where(match, la_e, 0.0), axis=-1)
+            ph_p = jnp.sum(jnp.where(match, ent[..., 3], 0.0), axis=-1)
+            found = jnp.any(match, axis=-1) & valid[:, None]
+            la_p = jnp.where(found, la_p, neg)
 
         me = self.matrix_elements(words)
         out = self._combine(me, la_p, ph_p, found, log_abs, phase, valid)

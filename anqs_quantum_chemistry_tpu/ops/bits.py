@@ -65,6 +65,28 @@ def popcount(words):
     return jnp.sum(popcount_word(words), axis=-1)
 
 
+def popcount_hw(words):
+    """Hardware popcount via ``jnp.bitwise_count`` -- the second of the
+    reference's redundant popcount modes kept for cross-checking
+    (reference: hilbert_space.py:158-198 keeps three)."""
+    return jnp.sum(
+        jnp.bitwise_count(words).astype(jnp.int32), axis=-1
+    )
+
+
+def permute_qubits(words, perm, qubit_num: int):
+    """Reorder qubits: output bit ``i`` = input bit ``perm[i]``.
+
+    The reference's qubit permutation hooks (perm/inv_perm,
+    hilbert_space.py:97-104,230-237) support orbital-reordering
+    experiments; here it is a bit gather over the unpacked representation
+    (off the hot path -- used at preparation time).
+    """
+    bits = unpack(words, qubit_num)
+    perm = jnp.asarray(perm, dtype=jnp.int32)
+    return pack(jnp.take(bits, perm, axis=-1))
+
+
 def parity(words):
     """Parity (popcount mod 2) over the word axis: ``(..., W) -> (...,)``."""
     w = words[..., 0]

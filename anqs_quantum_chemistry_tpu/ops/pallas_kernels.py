@@ -29,6 +29,77 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _hash_lookup_kernel(qlo_ref, qhi_ref, tab_ref, la_ref, ph_ref, f_ref):
+    """One query tile: bucket-row gather from the VMEM-resident table,
+    key-lane compare, amplitude-lane select."""
+    nb = tab_ref.shape[0]
+    qlo = qlo_ref[:]
+    qhi = qhi_ref[:]
+    acc = qlo * jnp.uint32(2654435761)
+    acc = acc ^ (acc >> jnp.uint32(15))
+    acc = (acc ^ qhi) * jnp.uint32(2654435761)
+    acc = acc ^ (acc >> jnp.uint32(15))
+    acc = acc * jnp.uint32(2246822519)
+    acc = acc ^ (acc >> jnp.uint32(13))
+    bucket = (acc & jnp.uint32(nb - 1)).astype(jnp.int32)
+
+    rows = jnp.take(tab_ref[:], bucket, axis=0)  # (T, 128)
+    ent = rows.reshape(rows.shape[0], 32, 4)
+    keys_lo = jax.lax.bitcast_convert_type(ent[:, :, 0], jnp.uint32)
+    keys_hi = jax.lax.bitcast_convert_type(ent[:, :, 1], jnp.uint32)
+    la_e = ent[:, :, 2]
+    neg = jnp.float32(-1e30)
+    match = (
+        (keys_lo == qlo[:, None])
+        & (keys_hi == qhi[:, None])
+        & (la_e > 0.5 * neg)
+    )
+    la_ref[:] = jnp.where(
+        jnp.any(match, axis=-1),
+        jnp.sum(jnp.where(match, la_e, 0.0), axis=-1),
+        neg,
+    )
+    ph_ref[:] = jnp.sum(jnp.where(match, ent[:, :, 3], 0.0), axis=-1)
+    f_ref[:] = jnp.any(match, axis=-1)
+
+
+def hash_lookup(tab, q_lo, q_hi, tile: int = 1 << 15):
+    """Fused bucket-hash membership lookup (experimental Pallas path).
+
+    ``tab``: (nb, 128) f32 bucket rows as built by
+    ``PauliEngine._proxy_via_hash`` (32 entries of (key_lo, key_hi,
+    log|psi|, phase) bitcast lanes). ``q_lo``/``q_hi``: (N,) uint32 query
+    key words. Returns (la_p, ph_p, found). The hash here MUST match
+    ``_proxy_via_hash``'s (w == 2 form).
+    """
+    n = q_lo.shape[0]
+    n_pad = _round_up(n, tile)
+    qlo_p = jnp.zeros((n_pad,), jnp.uint32).at[:n].set(q_lo)
+    qhi_p = jnp.zeros((n_pad,), jnp.uint32).at[:n].set(q_hi)
+    la, ph, found = pl.pallas_call(
+        _hash_lookup_kernel,
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                tab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.bool_),
+        ],
+    )(qlo_p, qhi_p, tab)
+    return la[:n], ph[:n], found[:n]
+
+
 def _fused_me_kernel(x_ref, b_ref, g0_ref, g1_ref, g2_ref, out_ref):
     j = pl.program_id(1)
     p = jnp.dot(x_ref[:], b_ref[:], preferred_element_type=jnp.float32)

@@ -1,2 +1,3 @@
 from .config import Config, Schedule, flatten_dict, schedule_lookup
-from .timing import timed, Timer
+
+__all__ = ["Config", "Schedule", "flatten_dict", "schedule_lookup"]

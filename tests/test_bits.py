@@ -51,3 +51,38 @@ def test_interleave_swap(rng):
     expected = x.copy()
     expected[:, 0::2], expected[:, 1::2] = x[:, 1::2], x[:, 0::2]
     np.testing.assert_array_equal(np.asarray(bits.unpack(swapped, n)), expected)
+
+
+def test_popcount_hw_matches_swar(rng):
+    import jax.numpy as jnp
+
+    from anqs_quantum_chemistry_tpu.ops import bits as bitops
+
+    words = jnp.asarray(
+        rng.integers(0, 1 << 32, size=(64, 3), dtype=np.uint64).astype(
+            np.uint32
+        )
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bitops.popcount(words)),
+        np.asarray(bitops.popcount_hw(words)),
+    )
+
+
+def test_permute_qubits_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from anqs_quantum_chemistry_tpu.ops import bits as bitops
+
+    n = 45
+    bits = rng.integers(0, 2, size=(32, n))
+    words = bitops.pack(jnp.asarray(bits))
+    perm = rng.permutation(n)
+    out = bitops.permute_qubits(words, perm, n)
+    np.testing.assert_array_equal(
+        np.asarray(bitops.unpack(out, n)), bits[:, perm]
+    )
+    # inverse permutation restores the original
+    inv = np.argsort(perm)
+    back = bitops.permute_qubits(out, inv, n)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(words))

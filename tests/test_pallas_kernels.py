@@ -64,3 +64,36 @@ def test_fused_matrix_elements_matches_split(rng):
             np.testing.assert_allclose(
                 me_ref[bi, m], expected, atol=1e-6
             )
+
+
+def test_hash_lookup_kernel_matches_xla(rng):
+    """Pallas fused bucket-hash lookup == the XLA hash path (interpret
+    mode), on a real 14-qubit sample set."""
+    from anqs_quantum_chemistry_tpu.ops import keys
+
+    mol = Molecule.create(
+        MolConfig(name="H2O"), mols_dir="mols",
+        run_fci=False, run_cisd=False,
+    )
+    n = mol.qubit_num
+    bits = rng.integers(0, 2, size=(128, n))
+    words = bitops.pack(jnp.asarray(bits))
+    sw, _ = keys.sort_words(words)
+    sv = keys.unique_mask(sw)
+    la = jnp.asarray(rng.standard_normal(128), jnp.float32)
+    ph = jnp.asarray(rng.standard_normal(128), jnp.float32)
+
+    eng_x = PauliEngine(mol.qubit_ham, membership="hash")
+    e_xla = eng_x.local_energy_proxy(sw, la, ph, sv)
+    eng_p = PauliEngine(
+        mol.qubit_ham, membership="hash", lookup_kernel="pallas"
+    )
+    with pltpu.force_tpu_interpret_mode():
+        e_pl = eng_p.local_energy_proxy(sw, la, ph, sv)
+    np.testing.assert_allclose(
+        np.asarray(e_pl.e_re), np.asarray(e_xla.e_re), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_pl.e_im), np.asarray(e_xla.e_im), atol=1e-5
+    )
+    assert int(e_pl.found_pairs) == int(e_xla.found_pairs)
