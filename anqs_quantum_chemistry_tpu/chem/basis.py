@@ -175,16 +175,27 @@ def _sto3g_shells(element: str) -> List[Tuple[str, list]]:
     return shells
 
 
+# 6-31G* polarization d exponents (Hariharan & Pople 1973 standard values);
+# single uncontracted Cartesian 6d shell on non-hydrogen atoms.
+_631G_STAR_D = {
+    "Li": 0.2, "Be": 0.4, "B": 0.6, "C": 0.8, "N": 0.8, "O": 0.8,
+    "F": 0.8, "Ne": 0.8,
+}
+
+
 def _element_shell_data(element: str, basis: str):
     basis = basis.lower().replace("-", "")
     if basis == "sto3g":
         return _sto3g_shells(element)
-    if basis == "631g":
+    if basis in ("631g", "631g*", "631gs"):
         if element not in _631G:
             raise NotImplementedError(
                 f"6-31G data for {element} not embedded yet"
             )
-        return _631G[element]
+        shells = list(_631G[element])
+        if basis != "631g" and element in _631G_STAR_D:
+            shells.append(("D", [(_631G_STAR_D[element], 1.0)]))
+        return shells
     raise ValueError(f"Unknown basis: {basis}")
 
 
@@ -207,6 +218,13 @@ def basis_for_atoms(
                                     tuple(r[2] for r in rows), atom_idx))
             elif label == "P":
                 shells.append(Shell(tuple(xyz), 1, exps,
+                                    tuple(r[1] for r in rows), atom_idx))
+            elif label == "D":
+                # Cartesian 6d (Pople convention); the MD integral
+                # recursion is general in l, and RHF energies are invariant
+                # to per-function scaling (absorbed by the generalized
+                # eigenproblem), so the shared shell norm suffices.
+                shells.append(Shell(tuple(xyz), 2, exps,
                                     tuple(r[1] for r in rows), atom_idx))
             else:
                 raise ValueError(label)

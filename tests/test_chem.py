@@ -151,3 +151,23 @@ def test_631g_li_be_b_f():
         )
         assert big.hf_energy < small.hf_energy
         assert big.qubit_num > small.qubit_num
+
+
+def test_631g_star_d_shells():
+    """6-31G* Cartesian 6d polarization shells: H2O RHF matches the
+    textbook value (-76.011 at standard geometries) and the polarization
+    lowering vs plain 6-31G is the expected ~25-30 mHa."""
+    from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+
+    m1 = Molecule.create(
+        MolConfig(name="H2O", basis="6-31g"), mols_dir="mols",
+        run_fci=False, run_cisd=False,
+    )
+    m2 = Molecule.create(
+        MolConfig(name="H2O", basis="6-31g*"), mols_dir="mols",
+        run_fci=False, run_cisd=False,
+    )
+    assert m2.qubit_num == m1.qubit_num + 12  # two 6d shells (O only... C?)
+    assert abs(m2.hf_energy - -76.0105) < 2e-3
+    lowering = m1.hf_energy - m2.hf_energy
+    assert 0.02 < lowering < 0.035
