@@ -99,3 +99,23 @@ def test_ensemble_heads():
         )
     # Heads differ (independent initializations).
     assert np.abs(np.asarray(la_h[0] - la_h[1])).max() > 1e-3
+
+
+def test_transformer_trains_below_hf():
+    """The qudit-token transformer ANQS actually trains (round-1 gap: it
+    was only construction-tested): on H2 it captures ~half the correlation
+    energy within 400 iterations, ending clearly below HF."""
+    from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+    from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
+
+    mol = Molecule.create(MolConfig(name="H2"), mols_dir="mols")
+    vmc = VMC(
+        mol,
+        VMCConfig(sample_num=8, qubit_per_qudit=2, lr=5e-3,
+                  iter_num=400, seed=0),
+        AnqsConfig(net_type="transformer", d_model=32, n_heads=2,
+                   n_layers=2, d_ff=64),
+    )
+    _, _, _, best = vmc.run(checkpoint_every=None, steps_per_call=50)
+    assert best["energy"] < mol.hf_energy - 5e-3
+    assert best["energy"] > mol.fci_energy - 1e-6
