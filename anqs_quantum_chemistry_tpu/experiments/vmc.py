@@ -45,6 +45,9 @@ import optax
 @dataclasses.dataclass
 class VMCConfig(Config):
     sample_num: int = 2000
+    # 'gumbel' | 'multinomial' | 'exact' ('exact' enumerates the whole
+    # symmetry sector once and skips sampling -- exact summation, valid for
+    # sectors up to ~2^20 determinants; sample_num is ignored)
     sampling_mode: str = "gumbel"
     multinomial_budget: Optional[int] = None
     # Adaptive multinomial budget (reference sample_precisely,
@@ -143,6 +146,33 @@ class VMC:
         hf_bits = np.array([[(ref >> i) & 1 for i in range(n)]])
         self.hf_words = bitops.pack(jnp.asarray(hf_bits))
 
+        # Exact-summation support: enumerate + sort the whole sector once.
+        self.exact_words = None
+        if self.config.sampling_mode == "exact":
+            if mol is None:
+                raise ValueError(
+                    "sampling_mode='exact' needs a Molecule (sector "
+                    "enumeration)"
+                )
+            from ..chem.fci import sector_determinants
+
+            dets = np.sort(
+                np.asarray(
+                    sector_determinants(
+                        mol.qubit_num, mol.n_alpha, mol.n_beta
+                    ),
+                    dtype=np.uint64,
+                )
+            )
+            assert len(dets) <= 1 << 20, (
+                f"sector too large for exact summation ({len(dets)})"
+            )
+            bits = (
+                (dets[:, None] >> np.arange(n, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64)
+            self.exact_words = bitops.pack(jnp.asarray(bits))
+
     # ------------------------------------------------------------------
     # Device-constant threading
     # ------------------------------------------------------------------
@@ -170,6 +200,8 @@ class VMC:
         ]
         if getattr(self.anqs, "sign_structure", None) is not None:
             targets.append((self.anqs, "sign_structure"))
+        if getattr(self, "exact_words", None) is not None:
+            targets.append((self, "exact_words"))
         if hasattr(self.anqs, "sf_cont_idx"):
             targets.append((self.anqs, "sf_cont_idx"))
         return targets
@@ -403,12 +435,26 @@ class VMC:
         self, params, opt_state, key, cfg, sampling_config, opt,
         budget=None,
     ):
-        key, sample_key = jax.random.split(key)
-        words, weights, valid, stats = sample(
-            self.anqs, params, sample_key, sampling_config,
-            mesh=self.mesh,
-            budget=budget if sampling_config.mode == "multinomial" else None,
-        )
+        if sampling_config.mode == "exact":
+            # Exact summation over the pre-enumerated (already sorted)
+            # sector; Born weights, everything valid.
+            words = self.exact_words
+            valid = jnp.ones(words.shape[0], dtype=bool)
+            weights = jnp.ones(words.shape[0], jnp.float32)
+            weights = weights / weights.shape[0]
+            stats = {"unique_num": jnp.asarray(words.shape[0]),
+                     "dropped": 0}
+        else:
+            key, sample_key = jax.random.split(key)
+            words, weights, valid, stats = sample(
+                self.anqs, params, sample_key, sampling_config,
+                mesh=self.mesh,
+                budget=(
+                    budget
+                    if sampling_config.mode == "multinomial"
+                    else None
+                ),
+            )
 
         if cfg.couple_spin_flip:
             # Close the unique set under the global alpha<->beta spin flip

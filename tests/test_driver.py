@@ -250,3 +250,39 @@ def test_profile_stages():
     }
     assert set(res) == expected
     assert all(v > 0 for v in res.values())
+
+
+def test_exact_summation_mode():
+    """sampling_mode='exact': the step optimizes the exact Rayleigh
+    quotient over the enumerated sector; first-step energy matches a
+    full-coverage Gumbel step with the same params bit-for-bit."""
+    mol = Molecule.create(
+        MolConfig(name="H2"), mols_dir="mols", run_fci=True, run_cisd=False
+    )
+    vmc_e = VMC(
+        mol, VMCConfig(sampling_mode="exact", qubit_per_qudit=2, lr=5e-3,
+                       seed=1),
+        AnqsConfig(hidden_widths=(8,)),
+    )
+    vmc_g = VMC(
+        mol, VMCConfig(sample_num=8, sampling_mode="gumbel",
+                       qubit_per_qudit=2, lr=5e-3, seed=1),
+        AnqsConfig(hidden_widths=(8,)),
+    )
+    assert vmc_e.exact_words.shape[0] == 4  # H2 sector
+    p, o, k = vmc_e.init_state()
+    out_e = vmc_e._step(p, o, k)
+    out_g = vmc_g._step(p, o, k)
+    np.testing.assert_allclose(
+        float(out_e[3]["energy"]), float(out_g[3]["energy"]), rtol=1e-6
+    )
+    # Exact mode trains to the float32-normalization floor (~1.7 mHa on
+    # this 4-state toy; round-1 LiH saturated similarly at 1.4 mHa).
+    vmc_e.config = vmc_e.config.replace(lr=1e-2)
+    vmc_e.opt = vmc_e._make_opt(vmc_e.config)
+    vmc_e._step_cache = {}
+    vmc_e._multi_step_cache = {}
+    _, _, _, best = vmc_e.run(
+        iter_num=800, checkpoint_every=None, steps_per_call=100
+    )
+    assert best["energy"] - mol.fci_energy < 2.5e-3
