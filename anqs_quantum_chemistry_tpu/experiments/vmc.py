@@ -564,6 +564,10 @@ class VMC:
             "ipr": jnp.sum(freqs**2),
             "dropped": jnp.asarray(stats["dropped"], jnp.int32),
             "hf_log_abs": hf_la[0],
+            "min_log_abs": jnp.min(jnp.where(valid, la, jnp.inf)),
+            "found_ratio": e.found_pairs
+            / jnp.maximum(jnp.sum(valid) * self.engine.n_groups, 1),
+            "table_overflow": e.table_overflow,
         }
         if cfg.full_energy_period:
             # Hand the iterate's own sample (and its pre-update amplitudes)

@@ -286,3 +286,28 @@ def test_exact_summation_mode():
         iter_num=800, checkpoint_every=None, steps_per_call=100
     )
     assert best["energy"] - mol.fci_energy < 2.5e-3
+
+
+def test_series_runner_skips_finished(tmp_path):
+    """Series runner: finished entries are skipped on re-run (reference
+    sandbox started/finished bookkeeping, energy_opt_exp_sandbox.py:50-121)."""
+    from anqs_quantum_chemistry_tpu.experiments.series import run_series
+
+    mol = Molecule.create(
+        MolConfig(name="H2"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+    entries = [
+        (mol, VMCConfig(sample_num=8, qubit_per_qudit=2, lr=5e-3,
+                        iter_num=3, seed=s), AnqsConfig(hidden_widths=(8,)))
+        for s in (0, 1)
+    ]
+    root = str(tmp_path)
+    r1 = run_series(entries, root)
+    assert len(r1) == 2 and all(not b["skipped"] for _, b in r1)
+    r2 = run_series(entries, root)
+    assert all(b["skipped"] for _, b in r2)
+    assert [d for d, _ in r1] == [d for d, _ in r2]
+    np.testing.assert_allclose(
+        r1[0][1]["energy"], r2[0][1]["energy"], rtol=1e-6
+    )
