@@ -498,15 +498,22 @@ class VMC:
             # (p_x E_x = a_x t_x; p_x |E_x|^2 = |t_x|^2): variance stays
             # finite even when near-zero-amplitude samples make the ratio
             # form E_loc blow up.
-            a_x = jnp.where(valid, jnp.exp(la), 0.0)
-            denom = jnp.maximum(jnp.sum(a_x**2), 1e-30)
-            mean_re = jnp.sum(a_x * e.t_re) / denom
-            mean_im = jnp.sum(a_x * e.t_im) / denom
+            # f64 reductions: at |E| ~ 100 Ha the f32 cancellation in
+            # sum|t|^2 - |mean|^2 is ~1e-3 Ha^2 -- visible once the run
+            # converges below ~1e-5 Ha (variance would dip negative).
+            a_x = jnp.where(valid, jnp.exp(la), 0.0).astype(jnp.float64)
+            t_re = e.t_re.astype(jnp.float64)
+            t_im = e.t_im.astype(jnp.float64)
+            denom = jnp.maximum(jnp.sum(a_x**2), 1e-300)
+            mean_re64 = jnp.sum(a_x * t_re) / denom
+            mean_im64 = jnp.sum(a_x * t_im) / denom
             var = (
-                jnp.sum(e.t_re**2 + e.t_im**2) / denom
-                - mean_re**2
-                - mean_im**2
-            )
+                jnp.sum(t_re**2 + t_im**2) / denom
+                - mean_re64**2
+                - mean_im64**2
+            ).astype(jnp.float32)
+            mean_re = mean_re64.astype(jnp.float32)
+            mean_im = mean_im64.astype(jnp.float32)
         else:
             freqs = weights / jnp.maximum(jnp.sum(weights), 1e-30)
             mean_re, mean_im, var = mc_estimate(e.e_re, e.e_im, freqs)
