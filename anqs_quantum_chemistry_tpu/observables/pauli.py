@@ -66,7 +66,11 @@ class PauliEngine:
         ham: PauliHamiltonian,
         sign_dtype: str = "bfloat16",
         me_chunk: Optional[int] = None,
-        weights_matmul: str = "split",  # 'split' | 'highest' | 'fast'
+        # 'split' | 'highest' | 'fast' | 'pallas'. The exact options cost
+        # ~5-6 ms at 16384x2951x536 on v5e (HIGHEST measured ~20% faster
+        # than the 3-pass bf16 split, but its f32 reductions are
+        # chunk-order-sensitive; split is bit-stable, so it stays default).
+        weights_matmul: str = "split",
         membership: str = "auto",  # 'auto' | 'table' | 'hash' | 'search'
         lookup_kernel: str = "xla",  # 'xla' | 'pallas' (hash path only)
     ):
