@@ -73,6 +73,9 @@ class PauliEngine:
         weights_matmul: str = "split",
         membership: str = "auto",  # 'auto' | 'table' | 'hash' | 'search'
         lookup_kernel: str = "xla",  # 'xla' | 'pallas' (hash path only)
+        # max queries per membership-lookup chunk ((chunk, 128)-row gather
+        # intermediate ~= chunk * 512 B of HBM); None = no chunking
+        lookup_chunk: Optional[int] = 1 << 22,
     ):
         self.qubit_num = ham.qubit_num
         self.constant = float(ham.constant)
@@ -88,6 +91,7 @@ class PauliEngine:
             )
         self.membership = membership
         self.lookup_kernel = lookup_kernel
+        self.lookup_chunk = lookup_chunk
 
         self.a_words = jnp.asarray(ham.a_masks)  # (M, W) uint32
 
@@ -267,20 +271,42 @@ class PauliEngine:
         xp_keys = (
             words[:, 0][:, None] ^ self.a_words[:, 0][None, :]
         )  # (B, M) uint32; sentinel rows map out of range
-        qr = (xp_keys >> 6).astype(jnp.int32)
-        qr = jnp.where(xp_keys < jnp.uint32(size), qr, n_rows)
-        rows_g = tab.at[qr].get(
-            mode="fill", fill_value=-1e30
-        )  # (B, M, 128)
-        qc = ((xp_keys & jnp.uint32(63)) * 2).astype(jnp.int32)
-        sel_la = jax.nn.one_hot(qc, 128, dtype=jnp.float32)
-        sel_ph = jax.nn.one_hot(qc + 1, 128, dtype=jnp.float32)
-        la_p = jnp.sum(rows_g * sel_la, axis=-1)
-        ph_p = jnp.sum(rows_g * sel_ph, axis=-1)
+
+        def lookup(q):
+            qr = (q >> 6).astype(jnp.int32)
+            qr = jnp.where(q < jnp.uint32(size), qr, n_rows)
+            rows_g = tab.at[qr].get(mode="fill", fill_value=-1e30)
+            qc = ((q & jnp.uint32(63)) * 2).astype(jnp.int32)
+            sel_la = jax.nn.one_hot(qc, 128, dtype=jnp.float32)
+            sel_ph = jax.nn.one_hot(qc + 1, 128, dtype=jnp.float32)
+            return (
+                jnp.sum(rows_g * sel_la, axis=-1),
+                jnp.sum(rows_g * sel_ph, axis=-1),
+            )
+
+        la_p, ph_p = self._chunked_queries(lookup, (xp_keys.reshape(-1),))
+        la_p = la_p.reshape(xp_keys.shape)
+        ph_p = ph_p.reshape(xp_keys.shape)
         found = (la_p > 0.5 * neg) & valid[:, None]
 
         me = self.matrix_elements(words)
         return self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
+
+    def _chunked_queries(self, fn, arrays):
+        """Run ``fn`` (flat query arrays -> tuple of flat outputs) in
+        lax.map chunks of ``lookup_chunk`` queries, bounding the (chunk,
+        128)-row gather intermediate (Li2O-sized B x M blows HBM
+        unchunked: 30M queries x 128 lanes x 4 B = 15 GB)."""
+        n = arrays[0].shape[0]
+        chunk = self.lookup_chunk
+        if chunk is None or n <= chunk:
+            return fn(*arrays)
+        pad = (-n) % chunk
+        stacked = tuple(
+            jnp.pad(a, (0, pad)).reshape(-1, chunk) for a in arrays
+        )
+        outs = jax.lax.map(lambda t: fn(*t), stacked)
+        return tuple(o.reshape(-1)[:n] for o in outs)
 
     def _proxy_via_hash(self, words, log_abs, phase, valid):
         """Membership via bucketed hash rows -- any qubit count.
@@ -364,22 +390,36 @@ class PauliEngine:
             ph_p = ph_p.reshape(shape)
             found = found.reshape(shape) & valid[:, None]
         else:
-            q_bucket = hash_bucket(xp_lo, xp_hi)
-            rows_g = tab[q_bucket]  # (B, M, 128)
+            def lookup(q_lo, q_hi):
+                q_bucket = hash_bucket(q_lo, q_hi)
+                rows_g = tab[q_bucket]  # (chunk, 128)
+                ent = rows_g.reshape(
+                    *rows_g.shape[:-1], epb, entry_lanes
+                )
+                keys_lo = jax.lax.bitcast_convert_type(
+                    ent[..., 0], jnp.uint32
+                )
+                keys_hi = jax.lax.bitcast_convert_type(
+                    ent[..., 1], jnp.uint32
+                )
+                la_e = ent[..., 2]
+                match = (
+                    (keys_lo == q_lo[..., None])
+                    & (keys_hi == q_hi[..., None])
+                    & (la_e > 0.5 * neg)
+                )
+                la = jnp.sum(jnp.where(match, la_e, 0.0), axis=-1)
+                ph = jnp.sum(jnp.where(match, ent[..., 3], 0.0), axis=-1)
+                la = jnp.where(jnp.any(match, axis=-1), la, neg)
+                return la, ph
 
-            ent = rows_g.reshape(*rows_g.shape[:-1], epb, entry_lanes)
-            keys_lo = jax.lax.bitcast_convert_type(ent[..., 0], jnp.uint32)
-            keys_hi = jax.lax.bitcast_convert_type(ent[..., 1], jnp.uint32)
-            la_e = ent[..., 2]
-            match = (
-                (keys_lo == xp_lo[..., None])
-                & (keys_hi == xp_hi[..., None])
-                & (la_e > 0.5 * neg)
+            shape = xp_lo.shape
+            la_p, ph_p = self._chunked_queries(
+                lookup, (xp_lo.reshape(-1), xp_hi.reshape(-1))
             )
-            la_p = jnp.sum(jnp.where(match, la_e, 0.0), axis=-1)
-            ph_p = jnp.sum(jnp.where(match, ent[..., 3], 0.0), axis=-1)
-            found = jnp.any(match, axis=-1) & valid[:, None]
-            la_p = jnp.where(found, la_p, neg)
+            la_p = la_p.reshape(shape)
+            ph_p = ph_p.reshape(shape)
+            found = (la_p > 0.5 * neg) & valid[:, None]
 
         me = self.matrix_elements(words)
         out = self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
