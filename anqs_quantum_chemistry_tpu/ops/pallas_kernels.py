@@ -43,11 +43,10 @@ def _hash_lookup_kernel(qlo_ref, qhi_ref, tab_ref, la_ref, ph_ref, f_ref):
     acc = acc ^ (acc >> jnp.uint32(13))
     bucket = (acc & jnp.uint32(nb - 1)).astype(jnp.int32)
 
-    rows = jnp.take(tab_ref[:], bucket, axis=0)  # (T, 128)
-    ent = rows.reshape(rows.shape[0], 32, 4)
-    keys_lo = jax.lax.bitcast_convert_type(ent[:, :, 0], jnp.uint32)
-    keys_hi = jax.lax.bitcast_convert_type(ent[:, :, 1], jnp.uint32)
-    la_e = ent[:, :, 2]
+    rows = jnp.take(tab_ref[:], bucket, axis=0)  # (T, 128), planar layout
+    keys_lo = jax.lax.bitcast_convert_type(rows[:, 0:32], jnp.uint32)
+    keys_hi = jax.lax.bitcast_convert_type(rows[:, 32:64], jnp.uint32)
+    la_e = rows[:, 64:96]
     neg = jnp.float32(-1e30)
     match = (
         (keys_lo == qlo[:, None])
@@ -59,7 +58,7 @@ def _hash_lookup_kernel(qlo_ref, qhi_ref, tab_ref, la_ref, ph_ref, f_ref):
         jnp.sum(jnp.where(match, la_e, 0.0), axis=-1),
         neg,
     )
-    ph_ref[:] = jnp.sum(jnp.where(match, ent[:, :, 3], 0.0), axis=-1)
+    ph_ref[:] = jnp.sum(jnp.where(match, rows[:, 96:128], 0.0), axis=-1)
     f_ref[:] = jnp.any(match, axis=-1)
 
 
