@@ -284,3 +284,36 @@ def test_membership_hash_matches_search():
         np.asarray(e_hash.e_re), np.asarray(e_search.e_re), atol=1e-4
     )
     assert int(e_hash.found_pairs) == int(e_search.found_pairs)
+
+
+def test_lookup_chunking_matches_unchunked():
+    """Membership-query chunking (lax.map) is numerically identical for
+    both table and hash paths."""
+    import jax.numpy as jnp
+
+    from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+    from anqs_quantum_chemistry_tpu.observables.pauli import PauliEngine
+    from anqs_quantum_chemistry_tpu.ops import bits as bitops, keys
+
+    rng = np.random.default_rng(3)
+    mol = Molecule.create(
+        MolConfig(name="H2O"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+    bits = rng.integers(0, 2, size=(64, mol.qubit_num))
+    words = bitops.pack(jnp.asarray(bits))
+    sw, _ = keys.sort_words(words)
+    sv = keys.unique_mask(sw)
+    la = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    ph = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    for mem in ("table", "hash"):
+        a = PauliEngine(mol.qubit_ham, membership=mem).local_energy_proxy(
+            sw, la, ph, sv
+        )
+        b = PauliEngine(
+            mol.qubit_ham, membership=mem, lookup_chunk=1000
+        ).local_energy_proxy(sw, la, ph, sv)
+        np.testing.assert_allclose(
+            np.asarray(a.e_re), np.asarray(b.e_re), atol=1e-6
+        )
+        assert int(a.found_pairs) == int(b.found_pairs)
