@@ -88,6 +88,10 @@ class VMCConfig(Config):
     # (reference exp/series/mol cascade, energy_opt_exp.py:414-481,648-675).
     save_best_model: bool = False
     extra_best_dirs: Tuple[str, ...] = ()
+    # Extra PauliEngine kwargs (membership backend, prefilter capacities,
+    # chunk sizes -- the counterpart of the reference's coupling-method +
+    # chunk-size knobs, compute_local_energies.py:15-45).
+    engine_overrides: Optional[dict] = None
 
 
 class VMC:
@@ -121,7 +125,9 @@ class VMC:
             self.masker, qubit_per_qudit=self.config.qubit_per_qudit
         )
         self.anqs = ANQS(self.grouping, anqs_config or AnqsConfig())
-        self.engine = PauliEngine(ham)
+        self.engine = PauliEngine(
+            ham, **(self.config.engine_overrides or {})
+        )
         self.sampling_config = SamplingConfig(
             sample_num=self.config.sample_num,
             mode=self.config.sampling_mode,
@@ -198,6 +204,15 @@ class VMC:
             (self.engine, "weights"),
             (self, "hf_words"),
         ]
+        if getattr(self.engine, "membership", None) == "prefilter":
+            targets.extend(
+                [
+                    (self.engine, "pf_ualpha"),
+                    (self.engine, "pf_ubeta"),
+                    (self.engine, "pf_ja"),
+                    (self.engine, "pf_jb"),
+                ]
+            )
         if getattr(self.anqs, "sign_structure", None) is not None:
             targets.append((self.anqs, "sign_structure"))
         if getattr(self, "exact_words", None) is not None:
@@ -575,6 +590,7 @@ class VMC:
             "found_ratio": e.found_pairs
             / jnp.maximum(jnp.sum(valid) * self.engine.n_groups, 1),
             "table_overflow": e.table_overflow,
+            "pf_dropped_rows": e.pf_dropped_rows,
         }
         if cfg.full_energy_period:
             # Hand the iterate's own sample (and its pre-update amplitudes)

@@ -52,6 +52,10 @@ class LocalEnergies(NamedTuple):
     # expected 0 for hash at the dimensioned load factor -- logged so any
     # bias is visible)
     table_overflow: jnp.ndarray = jnp.int32(0)
+    # rows whose connected-pair count exceeded the prefilter row capacity
+    # AND did not fit the dense-row fallback buffer (their E_loc is
+    # truncated; 0 means the prefilter result is exact)
+    pf_dropped_rows: jnp.ndarray = jnp.int32(0)
 
 
 class PauliEngine:
@@ -71,11 +75,24 @@ class PauliEngine:
         # than the 3-pass bf16 split, but its f32 reductions are
         # chunk-order-sensitive; split is bit-stable, so it stays default).
         weights_matmul: str = "split",
-        membership: str = "auto",  # 'auto' | 'table' | 'hash' | 'search'
+        # 'auto' | 'table' | 'hash' | 'search' | 'prefilter'.
+        # 'prefilter' is the output-sensitive path for large-M molecules:
+        # an alpha/beta-string bitmap prefilter (MXU-expanded hit masks)
+        # bounds the expensive hash-row gathers to O(hits) instead of
+        # B x M (the reference's trie coupling achieves the same output
+        # sensitivity by pointer chasing, utils/trie.py:94-125 -- hostile
+        # to TPU; this is the dense-prefilter re-design).
+        membership: str = "auto",
         lookup_kernel: str = "xla",  # 'xla' | 'pallas' (hash path only)
         # max queries per membership-lookup chunk ((chunk, 128)-row gather
         # intermediate ~= chunk * 512 B of HBM); None = no chunking
         lookup_chunk: Optional[int] = 1 << 22,
+        # prefilter knobs: per-row connected-pair capacity for the top_k
+        # compaction; rows exceeding it fall back to a dense lookup over
+        # all M groups, up to `prefilter_dense_rows` such rows per batch.
+        prefilter_row_capacity: int = 64,
+        prefilter_dense_rows: int = 256,
+        prefilter_bits: Optional[int] = None,  # alpha/beta bitmap log2 size
     ):
         self.qubit_num = ham.qubit_num
         self.constant = float(ham.constant)
@@ -83,15 +100,21 @@ class PauliEngine:
         self.n_terms = ham.n_terms
         self.me_chunk = me_chunk
         self.weights_matmul = weights_matmul
+        words = ham.a_masks.shape[1]
         if membership == "auto":
-            membership = (
-                "table"
-                if ham.qubit_num <= self.MAX_TABLE_QUBITS
-                else "hash"
-            )
+            if ham.qubit_num <= self.MAX_TABLE_QUBITS:
+                membership = "table"
+            elif words <= 2:
+                membership = "hash"
+            else:
+                membership = "search"
         self.membership = membership
         self.lookup_kernel = lookup_kernel
         self.lookup_chunk = lookup_chunk
+        self.prefilter_row_capacity = prefilter_row_capacity
+        self.prefilter_dense_rows = prefilter_dense_rows
+        if membership == "prefilter":
+            self._init_prefilter(ham, prefilter_bits)
 
         self.a_words = jnp.asarray(ham.a_masks)  # (M, W) uint32
 
@@ -130,6 +153,97 @@ class PauliEngine:
         self.group_weight_splits = tuple(splits)
         self.group_id = jnp.asarray(group_id, dtype=jnp.int32)
         self.weights = jnp.asarray(ham.weights, dtype=jnp.float32)
+
+    # ------------------------------------------------------------------
+    def _init_prefilter(self, ham: PauliHamiltonian, bits: Optional[int]):
+        """Host-side structure for the output-sensitive prefilter.
+
+        Every flip mask A_m splits into independent alpha/beta spin-string
+        flips (even/odd qubits, the reference's interleaved spin-orbital
+        convention, spin_half_projection_symmetry.py:47-53). x ^ A_m is in
+        the sampled set ONLY IF alpha(x) ^ alpha(A_m) is a sampled alpha
+        string and likewise for beta -- two cheap necessary conditions
+        whose (B, M) hit masks are MXU matmuls against static one-hot
+        group->unique-flip maps. Survivors are verified exactly.
+        """
+        from ..chem.jw import words_to_pyints
+
+        assert ham.qubit_num % 2 == 0, "prefilter needs even qubit count"
+        assert ham.a_masks.shape[1] <= 2, "prefilter supports <= 64 qubits"
+        n_half = ham.qubit_num // 2
+        a_ints = words_to_pyints(ham.a_masks)
+        alpha = np.zeros(len(a_ints), dtype=np.uint32)
+        beta = np.zeros(len(a_ints), dtype=np.uint32)
+        for i, v in enumerate(a_ints):
+            v = int(v)
+            a = b = 0
+            for j in range(n_half):
+                a |= ((v >> (2 * j)) & 1) << j
+                b |= ((v >> (2 * j + 1)) & 1) << j
+            alpha[i], beta[i] = a, b
+
+        import ml_dtypes
+
+        def one_hot_map(vals):
+            u, inv = np.unique(vals, return_inverse=True)
+            j = np.zeros((len(u), len(vals)), dtype=np.float32)
+            j[inv, np.arange(len(vals))] = 1.0
+            return (
+                jnp.asarray(u.astype(np.uint32)),
+                jnp.asarray(j.astype(ml_dtypes.bfloat16)),
+            )
+
+        self.pf_ualpha, self.pf_ja = one_hot_map(alpha)
+        self.pf_ubeta, self.pf_jb = one_hot_map(beta)
+        self.pf_string_bits = n_half
+        self.pf_bits = (
+            bits if bits is not None else min(n_half, 22)
+        )
+
+    def _pf_hash(self, v):
+        """uint32 spin-string -> bitmap index (identity when it fits)."""
+        if self.pf_bits >= self.pf_string_bits:
+            return v.astype(jnp.int32)
+        acc = self._mix2(v, jnp.zeros_like(v))
+        return (acc & jnp.uint32((1 << self.pf_bits) - 1)).astype(jnp.int32)
+
+    @staticmethod
+    def _alpha_beta_strings(words):
+        """Packed (B, W<=2) words -> (alpha, beta) uint32 spin strings.
+
+        Even qubits are alpha spin-orbitals, odd beta (reference
+        convention); extraction is a SWAR parallel-bit-extract, pure
+        vector ALU.
+        """
+
+        def pext_even(x):
+            x = x & bitops.UINT(0x55555555)
+            x = (x | (x >> bitops.UINT(1))) & bitops.UINT(0x33333333)
+            x = (x | (x >> bitops.UINT(2))) & bitops.UINT(0x0F0F0F0F)
+            x = (x | (x >> bitops.UINT(4))) & bitops.UINT(0x00FF00FF)
+            x = (x | (x >> bitops.UINT(8))) & bitops.UINT(0x0000FFFF)
+            return x
+
+        lo = words[..., 0]
+        al = pext_even(lo)
+        be = pext_even(lo >> bitops.UINT(1))
+        if words.shape[-1] == 2:
+            hi = words[..., 1]
+            al = al | (pext_even(hi) << bitops.UINT(16))
+            be = be | (pext_even(hi >> bitops.UINT(1)) << bitops.UINT(16))
+        return al, be
+
+    @staticmethod
+    def _mix2(lo, hi):
+        """Two-round avalanche mix of two uint32 words (shared with the
+        Pallas hash kernel, ops/pallas_kernels.hash_lookup)."""
+        acc = lo * jnp.uint32(2654435761)
+        acc = acc ^ (acc >> jnp.uint32(15))
+        acc = (acc ^ hi) * jnp.uint32(2654435761)
+        acc = acc ^ (acc >> jnp.uint32(15))
+        acc = acc * jnp.uint32(2246822519)
+        acc = acc ^ (acc >> jnp.uint32(13))
+        return acc
 
     # ------------------------------------------------------------------
     def matrix_elements(self, words) -> jnp.ndarray:
@@ -220,6 +334,10 @@ class PauliEngine:
             return self._proxy_via_table(sorted_words, log_abs, phase, valid)
         if self.membership == "hash":
             return self._proxy_via_hash(sorted_words, log_abs, phase, valid)
+        if self.membership == "prefilter":
+            return self._proxy_via_prefilter(
+                sorted_words, log_abs, phase, valid
+            )
         b, w = sorted_words.shape
         m = self.a_words.shape[0]
 
@@ -322,29 +440,65 @@ class PauliEngine:
         these sizes) is counted in ``table_overflow``.
         """
         b, w = words.shape
+        neg = jnp.float32(-1e30)
+        tab, nb, overflow_count = self._hash_build(
+            words, log_abs, phase, valid
+        )
+
+        xp_lo = words[:, 0][:, None] ^ self.a_words[:, 0][None, :]
+        if w == 2:
+            xp_hi = words[:, 1][:, None] ^ self.a_words[:, 1][None, :]
+        else:
+            xp_hi = jnp.zeros_like(xp_lo)
+        if self.lookup_kernel == "pallas":
+            from ..ops.pallas_kernels import hash_lookup
+
+            shape = xp_lo.shape
+            la_p, ph_p, found = hash_lookup(
+                tab, xp_lo.reshape(-1), xp_hi.reshape(-1)
+            )
+            la_p = la_p.reshape(shape)
+            ph_p = ph_p.reshape(shape)
+            found = found.reshape(shape) & valid[:, None]
+        else:
+            shape = xp_lo.shape
+            la_p, ph_p = self._hash_query(
+                tab, nb, xp_lo.reshape(-1), xp_hi.reshape(-1)
+            )
+            la_p = la_p.reshape(shape)
+            ph_p = ph_p.reshape(shape)
+            found = (la_p > 0.5 * neg) & valid[:, None]
+
+        me = self.matrix_elements(words)
+        out = self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
+        return out._replace(table_overflow=overflow_count)
+
+    def _hash_build(self, words, log_abs, phase, valid):
+        """Scatter (key, log|psi|, phase) entries of the valid sample rows
+        into planar hash-bucket rows. Returns (table, n_buckets,
+        overflow_count).
+
+        PLANAR bucket layout: lanes [0,32) key_lo, [32,64) key_hi,
+        [64,96) log|psi|, [96,128) phase -- contiguous lane ranges per
+        field (a strided entry-major layout forces lane relayouts on TPU,
+        measured ~4x slower). Entries are ranked within their bucket by a
+        stable sort over bucket ids; buckets are dimensioned to ~25%
+        average load, so overflow beyond 32 entries is a Poisson tail
+        (~1e-11), counted when it happens.
+        """
+        b, w = words.shape
         assert w <= 2, "hash membership supports <= 64 qubits so far"
-        # PLANAR bucket layout: lanes [0,32) key_lo, [32,64) key_hi,
-        # [64,96) log|psi|, [96,128) phase -- contiguous lane ranges per
-        # field (a strided entry-major layout forces lane relayouts on TPU,
-        # measured ~4x slower).
         epb = 32  # entries per bucket
         nb = 1 << max(8, (4 * b // epb - 1).bit_length())
         neg = jnp.float32(-1e30)
 
-        def hash_bucket(lo, hi):  # uint32 words -> int32 bucket
-            # Fixed two-round form shared with the Pallas kernel
-            # (ops/pallas_kernels.hash_lookup); hi == 0 for W == 1.
-            acc = lo * jnp.uint32(2654435761)
-            acc = acc ^ (acc >> jnp.uint32(15))
-            acc = (acc ^ hi) * jnp.uint32(2654435761)
-            acc = acc ^ (acc >> jnp.uint32(15))
-            acc = acc * jnp.uint32(2246822519)
-            acc = acc ^ (acc >> jnp.uint32(13))
-            return (acc & jnp.uint32(nb - 1)).astype(jnp.int32)
-
         w_lo = words[:, 0]
         w_hi = words[:, 1] if w == 2 else jnp.zeros_like(w_lo)
-        bucket = jnp.where(valid, hash_bucket(w_lo, w_hi), nb)
+        bucket = jnp.where(
+            valid,
+            (self._mix2(w_lo, w_hi) & jnp.uint32(nb - 1)).astype(jnp.int32),
+            nb,
+        )
         iota = jnp.arange(b, dtype=jnp.int32)
         sorted_b, sorted_i = jax.lax.sort(
             (bucket, iota), num_keys=1, is_stable=True
@@ -365,68 +519,210 @@ class PauliEngine:
         # because its la lane stays NEG).
         tab = jnp.full((nb, 128), neg, dtype=jnp.float32)
         row_i = jnp.where(valid & ~overflow, bucket, nb)
-        k_lo = jax.lax.bitcast_convert_type(words[:, 0], jnp.float32)
-        k_hi = jax.lax.bitcast_convert_type(
-            words[:, 1] if w == 2 else jnp.zeros_like(words[:, 0]),
-            jnp.float32,
-        )
+        k_lo = jax.lax.bitcast_convert_type(w_lo, jnp.float32)
+        k_hi = jax.lax.bitcast_convert_type(w_hi, jnp.float32)
         tab = tab.at[row_i, lane].set(k_lo, mode="drop")
         tab = tab.at[row_i, lane + 32].set(k_hi, mode="drop")
         tab = tab.at[row_i, lane + 64].set(
             jnp.where(valid, log_abs, neg), mode="drop"
         )
         tab = tab.at[row_i, lane + 96].set(phase, mode="drop")
+        return tab, nb, jnp.sum(overflow).astype(jnp.int32)
 
-        xp_lo = words[:, 0][:, None] ^ self.a_words[:, 0][None, :]
+    def _hash_query(self, tab, nb, q_lo, q_hi):
+        """Flat uint32 query words -> (log|psi|, phase); misses get NEG.
+        One 128-lane row gather per query + lane compares."""
+        neg = jnp.float32(-1e30)
+
+        def lookup(q_lo_, q_hi_):
+            q_bucket = (
+                self._mix2(q_lo_, q_hi_) & jnp.uint32(nb - 1)
+            ).astype(jnp.int32)
+            rows_g = tab[q_bucket]  # (chunk, 128)
+            keys_lo = jax.lax.bitcast_convert_type(
+                rows_g[..., 0:32], jnp.uint32
+            )
+            keys_hi = jax.lax.bitcast_convert_type(
+                rows_g[..., 32:64], jnp.uint32
+            )
+            la_e = rows_g[..., 64:96]
+            match = (
+                (keys_lo == q_lo_[..., None])
+                & (keys_hi == q_hi_[..., None])
+                & (la_e > 0.5 * neg)
+            )
+            la = jnp.sum(jnp.where(match, la_e, 0.0), axis=-1)
+            ph = jnp.sum(
+                jnp.where(match, rows_g[..., 96:128], 0.0), axis=-1
+            )
+            la = jnp.where(jnp.any(match, axis=-1), la, neg)
+            return la, ph
+
+        return self._chunked_queries(lookup, (q_lo, q_hi))
+
+    def _proxy_via_prefilter(self, words, log_abs, phase, valid):
+        """Output-sensitive membership: alpha/beta-string prefilter +
+        top_k compaction + exact hash verification of survivors.
+
+        The hash path pays one 128-lane row gather per (sample, group)
+        query -- B x M gathers, ~13 ns each on v5e, even though only a
+        tiny fraction of queries hit (e.g. Li2O/STO-3G: ~14k hits out of
+        25M queries). This path bounds the per-index work to O(hits):
+
+        1. Necessary conditions as MXU matmuls: x ^ A_m sampled requires
+           alpha(x)^alpha(A_m) in the sampled alpha-string set (same for
+           beta). Per-sample bitmap probes run over the UNIQUE alpha/beta
+           flips (B x M_a + B x M_b single-element 1D gathers, M_a+M_b
+           << 2M), then expand to (B, M) via one-hot matmuls.
+        2. Compaction: per-row ``top_k`` (pure sorting-network vector
+           work, no gathers) keeps up to ``prefilter_row_capacity``
+           candidate groups per sample.
+        3. Exact verify: hash-row gathers only for the B x c_row
+           candidates. Rows with more candidates than c_row (a few
+           high-amplitude determinants couple to many sampled partners)
+           are re-done densely over all M groups, up to
+           ``prefilter_dense_rows`` rows; rows beyond that are counted in
+           ``pf_dropped_rows`` (0 == exact).
+
+        This is the TPU re-design of the reference's output-sensitive
+        trie coupling (reference: nqs/nqs/utils/trie.py:94-125,
+        pauli_observable.py:682-696): same exact pair set, no pointer
+        chasing.
+        """
+        b, w = words.shape
+        m = self.n_groups
+        assert w <= 2, "prefilter supports <= 64 qubits"
+        neg = jnp.float32(-1e30)
+        c_row = min(self.prefilter_row_capacity, m)
+        r_cap = self.prefilter_dense_rows
+
+        tab, nb, build_overflow = self._hash_build(
+            words, log_abs, phase, valid
+        )
+
+        # --- Stage 1: (B, M) candidate mask from spin-string bitmaps.
+        al, be = self._alpha_beta_strings(words)
+        bm_size = 1 << self.pf_bits
+        bma = jnp.zeros((bm_size,), jnp.float32).at[
+            jnp.where(valid, self._pf_hash(al), bm_size)
+        ].set(1.0, mode="drop")
+        bmb = jnp.zeros((bm_size,), jnp.float32).at[
+            jnp.where(valid, self._pf_hash(be), bm_size)
+        ].set(1.0, mode="drop")
+        qa = bma[self._pf_hash(al[:, None] ^ self.pf_ualpha[None, :])]
+        qb = bmb[self._pf_hash(be[:, None] ^ self.pf_ubeta[None, :])]
+        hita = jnp.dot(
+            qa.astype(jnp.bfloat16), self.pf_ja,
+            preferred_element_type=jnp.float32,
+        )
+        hitb = jnp.dot(
+            qb.astype(jnp.bfloat16), self.pf_jb,
+            preferred_element_type=jnp.float32,
+        )
+        hit = (hita > 0.5) & (hitb > 0.5) & valid[:, None]
+
+        # --- Stage 2: per-row compaction (descending key = hit groups in
+        # ascending-m order; 0 = no candidate).
+        key_mat = jnp.where(
+            hit, m - jnp.arange(m, dtype=jnp.int32)[None, :], 0
+        )
+        row_count = jnp.sum(hit, axis=1).astype(jnp.int32)
+        kvals, m_idx = jax.lax.top_k(key_mat, c_row)
+        pair_ok = kvals > 0
+
+        me = self.matrix_elements(words)  # (B, M)
+
+        # --- Stage 3a: exact verification of compacted candidates.
+        q_lo = words[:, 0][:, None] ^ self.a_words[:, 0][m_idx]
         if w == 2:
-            xp_hi = words[:, 1][:, None] ^ self.a_words[:, 1][None, :]
+            q_hi = words[:, 1][:, None] ^ self.a_words[:, 1][m_idx]
         else:
-            xp_hi = jnp.zeros_like(xp_lo)
-        if self.lookup_kernel == "pallas":
-            from ..ops.pallas_kernels import hash_lookup
+            q_hi = jnp.zeros_like(q_lo)
+        la1, ph1 = self._hash_query(
+            tab, nb, q_lo.reshape(-1), q_hi.reshape(-1)
+        )
+        la1 = la1.reshape(b, c_row)
+        ph1 = ph1.reshape(b, c_row)
+        found1 = (la1 > 0.5 * neg) & pair_ok
+        me1 = jnp.take_along_axis(me, m_idx, axis=1)
+        sums1 = self._combine_rows(me1, la1, ph1, found1, phase)
 
-            shape = xp_lo.shape
-            la_p, ph_p, found = hash_lookup(
-                tab, xp_lo.reshape(-1), xp_hi.reshape(-1)
-            )
-            la_p = la_p.reshape(shape)
-            ph_p = ph_p.reshape(shape)
-            found = found.reshape(shape) & valid[:, None]
+        # --- Stage 3b: dense fallback for rows over capacity.
+        over = valid & (row_count > c_row)
+        pos = jnp.cumsum(over.astype(jnp.int32)) - 1
+        iota_b = jnp.arange(b, dtype=jnp.int32)
+        rows_buf = jnp.full((r_cap,), b, jnp.int32).at[
+            jnp.where(over & (pos < r_cap), pos, r_cap)
+        ].set(iota_b, mode="drop")
+        row_ok = rows_buf < b
+        safe_rows = jnp.clip(rows_buf, 0, b - 1)
+        rw = jnp.stack(
+            [words[:, j][safe_rows] for j in range(w)], axis=-1
+        )
+        q2_lo = rw[:, 0][:, None] ^ self.a_words[:, 0][None, :]
+        if w == 2:
+            q2_hi = rw[:, 1][:, None] ^ self.a_words[:, 1][None, :]
         else:
-            def lookup(q_lo, q_hi):
-                q_bucket = hash_bucket(q_lo, q_hi)
-                rows_g = tab[q_bucket]  # (chunk, 128)
-                keys_lo = jax.lax.bitcast_convert_type(
-                    rows_g[..., 0:32], jnp.uint32
-                )
-                keys_hi = jax.lax.bitcast_convert_type(
-                    rows_g[..., 32:64], jnp.uint32
-                )
-                la_e = rows_g[..., 64:96]
-                match = (
-                    (keys_lo == q_lo[..., None])
-                    & (keys_hi == q_hi[..., None])
-                    & (la_e > 0.5 * neg)
-                )
-                la = jnp.sum(jnp.where(match, la_e, 0.0), axis=-1)
-                ph = jnp.sum(
-                    jnp.where(match, rows_g[..., 96:128], 0.0), axis=-1
-                )
-                la = jnp.where(jnp.any(match, axis=-1), la, neg)
-                return la, ph
+            q2_hi = jnp.zeros_like(q2_lo)
+        la2, ph2 = self._hash_query(
+            tab, nb, q2_lo.reshape(-1), q2_hi.reshape(-1)
+        )
+        la2 = la2.reshape(r_cap, m)
+        ph2 = ph2.reshape(r_cap, m)
+        found2 = (la2 > 0.5 * neg) & row_ok[:, None]
+        me2 = self.matrix_elements(rw)
+        sums2 = self._combine_rows(
+            me2, la2, ph2, found2, phase[safe_rows]
+        )
 
-            shape = xp_lo.shape
-            la_p, ph_p = self._chunked_queries(
-                lookup, (xp_lo.reshape(-1), xp_hi.reshape(-1))
-            )
-            la_p = la_p.reshape(shape)
-            ph_p = ph_p.reshape(shape)
-            found = (la_p > 0.5 * neg) & valid[:, None]
+        # --- Merge: dense-row results overwrite truncated pass-1 rows.
+        scatter_to = jnp.where(row_ok, rows_buf, b)
+        merged = tuple(
+            s1.at[scatter_to].set(s2, mode="drop")
+            for s1, s2 in zip(sums1, sums2)
+        )
+        s_re, s_im, t_sum_re, t_sum_im, found_per_row = merged
 
-        me = self.matrix_elements(words)
-        out = self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
-        return out._replace(
-            table_overflow=jnp.sum(overflow).astype(jnp.int32)
+        ratio_scale = jnp.exp(
+            jnp.clip(-jnp.where(valid, log_abs, 0.0), -60.0, 60.0)
+        )
+        e_re = jnp.where(valid, s_re * ratio_scale + self.constant, 0.0)
+        e_im = jnp.where(valid, s_im * ratio_scale, 0.0)
+        a_x = jnp.where(valid, jnp.exp(log_abs), 0.0)
+        t_re = jnp.where(valid, self.constant * a_x + t_sum_re, 0.0)
+        t_im = jnp.where(valid, t_sum_im, 0.0)
+
+        n_over = jnp.sum(over).astype(jnp.int32)
+        dropped = jnp.maximum(n_over - r_cap, 0)
+        return LocalEnergies(
+            e_re=e_re,
+            e_im=e_im,
+            found_pairs=jnp.sum(
+                jnp.where(valid, found_per_row, 0)
+            ).astype(jnp.int32),
+            t_re=t_re,
+            t_im=t_im,
+            table_overflow=build_overflow,
+            pf_dropped_rows=dropped,
+        )
+
+    @staticmethod
+    def _combine_rows(me, la_p, ph_p, found, phase_x):
+        """Per-row partner sums in amplitude form (no 1/|psi(x)| ratio --
+        applied by the caller): returns (sum me*a_p*cos, sum me*a_p*sin,
+        same pair again for the t-numerators, found count), each (B,).
+        """
+        amp_p = jnp.where(found, jnp.exp(jnp.where(found, la_p, 0.0)) * me,
+                          0.0)
+        dph = ph_p - phase_x[:, None]
+        s_re = jnp.sum(amp_p * jnp.cos(dph), axis=1)
+        s_im = jnp.sum(amp_p * jnp.sin(dph), axis=1)
+        return (
+            s_re,
+            s_im,
+            s_re,
+            s_im,
+            jnp.sum(found, axis=1).astype(jnp.int32),
         )
 
     def _combine(self, me, la_p, ph_p, found, log_abs, phase, valid):

@@ -317,3 +317,97 @@ def test_lookup_chunking_matches_unchunked():
             np.asarray(a.e_re), np.asarray(b.e_re), atol=1e-6
         )
         assert int(a.found_pairs) == int(b.found_pairs)
+
+
+def test_membership_prefilter_matches_search():
+    """Output-sensitive prefilter membership == sorted binary search on a
+    14-qubit molecule (W=1) and a 40-qubit embedding (W=2), including the
+    dense-row fallback (tiny row capacity) and the dropped-row counter."""
+    import jax.numpy as jnp
+
+    from anqs_quantum_chemistry_tpu.chem.jw import (
+        jordan_wigner_pauli_hamiltonian,
+    )
+    from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+    from anqs_quantum_chemistry_tpu.observables.pauli import PauliEngine
+    from anqs_quantum_chemistry_tpu.ops import bits as bitops, keys
+
+    rng = np.random.default_rng(23)
+
+    def prep(n, n_samp, active=None):
+        active = active or n
+        bits = np.zeros((n_samp, n), dtype=np.int64)
+        bits[:, :active] = rng.integers(0, 2, size=(n_samp, active))
+        words = bitops.pack(jnp.asarray(bits))
+        valid = jnp.asarray(rng.random(n_samp) < 0.9)
+        words = jnp.where(
+            valid[:, None], words,
+            jnp.full_like(words, bitops.UINT(0xFFFFFFFF)),
+        )
+        sw, _, sv = keys.sort_words(words, valid.astype(jnp.int32))
+        sv = sv.astype(bool) & keys.unique_mask(sw)
+        la = jnp.asarray(-np.abs(rng.standard_normal(n_samp)), jnp.float32)
+        ph = jnp.asarray(rng.standard_normal(n_samp), jnp.float32)
+        return sw, la, ph, sv
+
+    def check(ham, sw, la, ph, sv, **kw):
+        e_pf = PauliEngine(
+            ham, membership="prefilter", **kw
+        ).local_energy_proxy(sw, la, ph, sv)
+        e_search = PauliEngine(ham, membership="search").local_energy_proxy(
+            sw, la, ph, sv
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_pf.e_re), np.asarray(e_search.e_re),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_pf.e_im), np.asarray(e_search.e_im),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_pf.t_re), np.asarray(e_search.t_re),
+            rtol=1e-5, atol=1e-6,
+        )
+        assert int(e_pf.found_pairs) == int(e_search.found_pairs)
+        assert int(e_pf.table_overflow) == 0
+        return e_pf
+
+    mol = Molecule.create(
+        MolConfig(name="H2O"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+    sw, la, ph, sv = prep(mol.qubit_num, 96)
+    e = check(mol.qubit_ham, sw, la, ph, sv)
+    assert int(e.pf_dropped_rows) == 0
+
+    # Tiny row capacity forces the dense fallback; large enough dense-row
+    # buffer keeps the result exact.
+    e = check(
+        mol.qubit_ham, sw, la, ph, sv,
+        prefilter_row_capacity=2, prefilter_dense_rows=96,
+    )
+    assert int(e.pf_dropped_rows) == 0
+
+    # Tiny dense-row buffer too: dropped rows are counted (not silent).
+    e_trunc = PauliEngine(
+        mol.qubit_ham, membership="prefilter",
+        prefilter_row_capacity=1, prefilter_dense_rows=1,
+    ).local_energy_proxy(sw, la, ph, sv)
+    assert int(e_trunc.pf_dropped_rows) > 0
+
+    # Hashed-bitmap regime (prefilter_bits < string bits): false positives
+    # must be verified away.
+    e = check(mol.qubit_ham, sw, la, ph, sv, prefilter_bits=4)
+    assert int(e.pf_dropped_rows) == 0
+
+    # 40-qubit (W=2) embedding of a random 12-orbital problem.
+    h1 = np.zeros((40, 40))
+    sub = rng.standard_normal((12, 12))
+    h1[:12, :12] = sub + sub.T
+    v = np.zeros((40, 40, 40, 40))
+    s4 = rng.standard_normal((12,) * 4)
+    v[:12, :12, :12, :12] = s4 + s4.transpose(1, 0, 3, 2)
+    ham40 = jordan_wigner_pauli_hamiltonian(h1, v)
+    sw, la, ph, sv = prep(40, 64, active=12)
+    check(ham40, sw, la, ph, sv)
