@@ -56,9 +56,20 @@ GEOMETRIES: Dict[str, Geometry] = {
         ("H", (0.0, 0.9289, -1.2321)),
         ("H", (0.0, -0.9289, -1.2321)),
     ],
+    # Open-shell systems (ROHF references).
+    "OH": [("O", (0.0, 0.0, 0.0)), ("H", (0.0, 0.0, 0.9697))],
+    "O2": [("O", (0.0, 0.0, 0.0)), ("O", (0.0, 0.0, 1.2075))],
+    "NH2": [
+        ("N", (0.0, 0.0, 0.0)),
+        ("H", (0.0, 0.8031, 0.6349)),
+        ("H", (0.0, -0.8031, 0.6349)),
+    ],
+    "Li": [("Li", (0.0, 0.0, 0.0))],
+    "O": [("O", (0.0, 0.0, 0.0))],
 }
 
 MULTIPLICITIES: Dict[str, int] = {name: 1 for name in GEOMETRIES}
+MULTIPLICITIES.update({"OH": 2, "NH2": 2, "Li": 2, "O2": 3, "O": 3})
 
 
 def linear_geometry(name: str, bond_length: float) -> Geometry:

@@ -27,7 +27,7 @@ from .jw import (
     jordan_wigner_pauli_hamiltonian,
     z_string_symmetries,
 )
-from .scf import mo_integrals, rhf, spin_orbital_integrals
+from .scf import mo_integrals, rhf, rohf, spin_orbital_integrals
 
 MAX_BF_FCI_QUBITS = 20  # same exact-diagonalization cutoff as the reference
 # (reference: molecular_data.py:83-89, max_fci_qubits=20)
@@ -77,10 +77,21 @@ class Molecule:
         ints = compute_integrals_ao(self.atoms, shells)
         self.e_nuc = nuclear_repulsion(self.atoms)
         h_core = ints["T"] + ints["V"]
-        scf_res = rhf(ints["S"], h_core, ints["ERI"], self.n_electrons,
-                      self.e_nuc)
+        self.n_alpha = (self.n_electrons + (self.multiplicity - 1)) // 2
+        self.n_beta = self.n_electrons - self.n_alpha
+        if self.n_alpha == self.n_beta:
+            scf_res = rhf(ints["S"], h_core, ints["ERI"], self.n_electrons,
+                          self.e_nuc)
+        else:
+            # Open shell: ROHF (single spatial-orbital set, so the
+            # interleaved spin-orbital transform below applies unchanged;
+            # reference uses PySCF ROHF, run_pyscf.py:228-240).
+            scf_res = rohf(
+                ints["S"], h_core, ints["ERI"], self.n_alpha, self.n_beta,
+                self.e_nuc,
+            )
         if not scf_res["converged"]:
-            raise RuntimeError(f"RHF failed to converge for {config.name}")
+            raise RuntimeError(f"SCF failed to converge for {config.name}")
         self.hf_energy = scf_res["hf_energy"]
         self.mo_energy = scf_res["mo_energy"]
 
@@ -89,9 +100,6 @@ class Molecule:
         self.n_orbitals = h_mo.shape[0]
         self.qubit_num = 2 * self.n_orbitals
 
-        n_occ = scf_res["n_occ"]
-        self.n_alpha = (self.n_electrons + (self.multiplicity - 1)) // 2
-        self.n_beta = self.n_electrons - self.n_alpha
         self.hf_det = sum(1 << (2 * o) for o in range(self.n_alpha)) | sum(
             1 << (2 * o + 1) for o in range(self.n_beta)
         )
@@ -100,10 +108,16 @@ class Molecule:
             self.h1, self.v, constant=self.e_nuc
         )
 
-        mo_energy_so = np.repeat(self.mo_energy, 2)
-        self.mp2_energy = self.hf_energy + fci_mod.mp2_energy(
-            self.h1, self.v, mo_energy_so, self.hf_det
-        )
+        if self.n_alpha == self.n_beta:
+            mo_energy_so = np.repeat(self.mo_energy, 2)
+            self.mp2_energy = self.hf_energy + fci_mod.mp2_energy(
+                self.h1, self.v, mo_energy_so, self.hf_det
+            )
+        else:
+            # ROHF-MP2 is not uniquely defined with Roothaan effective
+            # orbital energies; the determinant-based CISD/FCI ladder
+            # below covers open shells instead.
+            self.mp2_energy = None
 
         self.cisd_energy = None
         self.ccsd_energy = None
@@ -204,7 +218,9 @@ class Molecule:
             n_beta=self.n_beta,
             hf_det=np.array([self.hf_det], dtype=np.uint64),
             qubit_num=self.qubit_num,
-            mp2_energy=self.mp2_energy,
+            mp2_energy=np.array(
+                [np.nan if self.mp2_energy is None else self.mp2_energy]
+            ),
             cisd_energy=np.array(
                 [np.nan if self.cisd_energy is None else self.cisd_energy]
             ),
@@ -249,7 +265,8 @@ class Molecule:
         mol.hf_det = int(data["hf_det"][0])
         mol.qubit_num = int(data["qubit_num"])
         mol.n_orbitals = mol.qubit_num // 2
-        mol.mp2_energy = float(data["mp2_energy"])
+        mp2 = float(np.asarray(data["mp2_energy"]).reshape(-1)[0])
+        mol.mp2_energy = None if np.isnan(mp2) else mp2
         mol.multiplicity = int(data["multiplicity"])
         mol.n_electrons = int(data["n_electrons"])
         cisd = float(data["cisd_energy"][0])

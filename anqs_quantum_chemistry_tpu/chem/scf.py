@@ -152,6 +152,164 @@ def _rhf_single(
     }
 
 
+def rohf(
+    s: np.ndarray,
+    h_core: np.ndarray,
+    eri: np.ndarray,
+    n_alpha: int,
+    n_beta: int,
+    e_nuc: float,
+    max_iter: int = 300,
+    conv_tol: float = 1e-11,
+    diis_size: int = 8,
+    n_random_starts: int = 6,
+) -> Dict:
+    """Restricted open-shell HF (high-spin) via the Roothaan effective
+    Fock, same multi-start + damping + DIIS protocol as :func:`rhf`.
+
+    One spatial-orbital set: the first ``n_beta`` orbitals are doubly
+    occupied, the next ``n_alpha - n_beta`` singly (alpha). The effective
+    Fock couples the closed/open/virtual blocks as
+
+        R = [[Fc, Fb, Fc],
+             [Fb, Fc, Fa],
+             [Fc, Fa, Fc]]   (in the MO basis; Fc = (Fa+Fb)/2)
+
+    whose self-consistent diagonalization yields the ROHF minimum (the
+    converged energy is basis-independent across the standard coupling
+    choices). The reference gets this from PySCF ROHF
+    (reference: nqs/nqs/applications/quantum_chemistry/run_pyscf.py:
+    228-240); this is the standalone equivalent.
+    """
+    assert n_alpha >= n_beta
+    s_eval, s_evec = np.linalg.eigh(s)
+    keep = s_eval > 1e-10
+    x = s_evec[:, keep] / np.sqrt(s_eval[keep])
+    n_mo = x.shape[1]
+
+    guesses = []
+    k_gwh = 1.75
+    diag = np.diag(h_core)
+    gwh = 0.5 * k_gwh * (diag[:, None] + diag[None, :]) * s
+    np.fill_diagonal(gwh, diag)
+    guesses.append(gwh)
+    guesses.append(h_core)
+    rng_ = np.random.default_rng(20260816)
+    for _ in range(n_random_starts):
+        q, _ = np.linalg.qr(rng_.normal(size=(n_mo, n_mo)))
+        guesses.append((None, x @ q))  # random orthonormal orbital start
+    best = None
+    for g in guesses:
+        if isinstance(g, tuple):
+            c0 = g[1]
+        else:
+            e0, cp = np.linalg.eigh(x.T @ g @ x)
+            c0 = x @ cp
+        res = _rohf_single(
+            x, s, h_core, eri, n_alpha, n_beta, e_nuc, c0, max_iter,
+            conv_tol, diis_size,
+        )
+        if res["converged"] and (
+            best is None or res["hf_energy"] < best["hf_energy"] - 1e-10
+        ):
+            best = res
+    if best is None:
+        e0, cp = np.linalg.eigh(x.T @ guesses[0] @ x)
+        best = _rohf_single(
+            x, s, h_core, eri, n_alpha, n_beta, e_nuc, x @ cp, max_iter,
+            conv_tol, diis_size,
+        )
+    return best
+
+
+def _rohf_single(
+    x, s, h_core, eri, n_alpha, n_beta, e_nuc, c, max_iter, conv_tol,
+    diis_size, damp_iters: int = 10, damp: float = 0.5,
+) -> Dict:
+    n_mo = x.shape[1]
+
+    def build(c):
+        da = c[:, :n_alpha] @ c[:, :n_alpha].T
+        db = c[:, :n_beta] @ c[:, :n_beta].T
+        j = np.einsum("pqrs,rs->pq", eri, da + db, optimize=True)
+        ka = np.einsum("prqs,rs->pq", eri, da, optimize=True)
+        kb = np.einsum("prqs,rs->pq", eri, db, optimize=True)
+        fa = h_core + j - ka
+        fb = h_core + j - kb
+        e = 0.5 * (np.sum(da * (h_core + fa)) + np.sum(db * (h_core + fb)))
+        return da, db, fa, fb, float(e)
+
+    def effective_fock_ao(c, fa, fb):
+        """Roothaan R in the current MO basis, pushed back to an AO-like
+        matrix S C R C^T S so DIIS/orthonormal diagonalization apply."""
+        fa_mo = c.T @ fa @ c
+        fb_mo = c.T @ fb @ c
+        fc_mo = 0.5 * (fa_mo + fb_mo)
+        r = fc_mo.copy()
+        cl = slice(0, n_beta)
+        op = slice(n_beta, n_alpha)
+        vt = slice(n_alpha, n_mo)
+        r[cl, op] = fb_mo[cl, op]
+        r[op, cl] = fb_mo[op, cl]
+        r[op, vt] = fa_mo[op, vt]
+        r[vt, op] = fa_mo[vt, op]
+        sc = s @ c
+        return sc @ r @ sc.T
+
+    errs, focks = [], []
+    e_old = 0.0
+    converged = False
+    da, db, fa, fb, e_elec = build(c)
+    for it in range(max_iter):
+        f_eff = effective_fock_ao(c, fa, fb)
+        fp = x.T @ f_eff @ x
+        dp = np.linalg.multi_dot([x.T, s, da + db, s, x])
+        err = fp @ dp - dp @ fp
+        errs.append(err)
+        focks.append(f_eff)
+        if len(errs) > diis_size:
+            errs.pop(0)
+            focks.pop(0)
+        if it < damp_iters:
+            if len(focks) > 1:
+                f_eff = damp * focks[-2] + (1 - damp) * f_eff
+                focks[-1] = f_eff
+        elif len(errs) > 1:
+            m = len(errs)
+            b = -np.ones((m + 1, m + 1))
+            b[m, m] = 0.0
+            for i in range(m):
+                for jj in range(m):
+                    b[i, jj] = np.vdot(errs[i], errs[jj])
+            rhs = np.zeros(m + 1)
+            rhs[m] = -1.0
+            try:
+                w = np.linalg.solve(b, rhs)[:m]
+                f_eff = sum(wi * fi for wi, fi in zip(w, focks))
+            except np.linalg.LinAlgError:
+                pass
+
+        e_orb, cp = np.linalg.eigh(x.T @ f_eff @ x)
+        c = x @ cp
+        da, db, fa, fb, e_elec = build(c)
+        if abs(e_elec - e_old) < conv_tol and it > damp_iters:
+            converged = True
+            break
+        e_old = e_elec
+
+    e_orb = np.diag(c.T @ effective_fock_ao(c, fa, fb) @ c)
+    return {
+        "hf_energy": float(e_elec + e_nuc),
+        "mo_coeff": c,
+        "mo_energy": np.asarray(e_orb, dtype=float),
+        "density": da + db,
+        "converged": converged,
+        "n_occ": n_alpha,
+        "n_alpha": n_alpha,
+        "n_beta": n_beta,
+    }
+
+
 def mo_integrals(h_core: np.ndarray, eri: np.ndarray, mo_coeff: np.ndarray):
     """AO -> MO: returns (h_mo, eri_mo) with eri in chemist (pq|rs)."""
     c = mo_coeff

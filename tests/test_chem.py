@@ -171,3 +171,33 @@ def test_631g_star_d_shells():
     assert abs(m2.hf_energy - -76.0105) < 2e-3
     lowering = m1.hf_energy - m2.hf_energy
     assert 0.02 < lowering < 0.035
+
+
+def test_rohf_open_shell():
+    """ROHF for open-shell systems: the SCF energy must equal the HF
+    determinant expectation <det|H|det> of the JW Hamiltonian built from
+    the same orbitals (single-determinant consistency across the whole
+    integrals -> SCF -> spin-orbital -> JW pipeline), and the variational
+    ladder FCI <= CISD <= ROHF must hold in the (N_alpha, N_beta) sector."""
+    from anqs_quantum_chemistry_tpu.chem import fci as fci_mod
+    from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+
+    for name, mult in (("Li", 2), ("OH", 2)):
+        mol = Molecule.create(
+            MolConfig(name=name), mols_dir="mols", run_fci=False,
+            run_cisd=False,
+        )
+        assert mol.multiplicity == mult
+        assert mol.n_alpha - mol.n_beta == mult - 1
+        e_det = mol.qubit_ham.dense_matrix_element(mol.hf_det, mol.hf_det)
+        np.testing.assert_allclose(e_det, mol.hf_energy, atol=1e-8)
+
+        e_fci, _, _, _ = fci_mod.fci_ground_state(
+            mol.h1, mol.v, mol.n_alpha, mol.n_beta, mol.e_nuc
+        )
+        e_cisd, _, _ = fci_mod.cisd_ground_state(
+            mol.h1, mol.v, mol.hf_det, mol.e_nuc
+        )
+        assert e_fci <= e_cisd + 1e-9 <= mol.hf_energy + 2e-9
+        # Correlation energy is small but nonzero for these systems.
+        assert 1e-5 < mol.hf_energy - e_fci < 0.5
