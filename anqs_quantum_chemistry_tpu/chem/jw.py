@@ -315,3 +315,61 @@ def z_string_symmetries(ham: PauliHamiltonian) -> np.ndarray:
                 g[pc] = 1
         basis.append(g)
     return np.array(basis, dtype=np.int8).reshape(len(basis), n)
+
+
+def permute_qubits_hamiltonian(
+    ham: PauliHamiltonian, perm
+) -> PauliHamiltonian:
+    """Relabel qubits: new qubit ``i`` carries old qubit ``perm[i]`` (the
+    same convention as ``ops.bits.permute_qubits``).
+
+    Counterpart of the reference's HilbertSpace perm/inv_perm hooks
+    (reference: nqs/nqs/base/hilbert_space.py:97-104,230-237), which
+    support orbital-reordering experiments: the autoregressive
+    factorization quality depends on qubit order, the physics does not.
+    Flip masks keep their group structure; groups are re-sorted so
+    ``a_masks`` stays canonically ordered (dense_matrix_element relies on
+    it)."""
+    n = ham.qubit_num
+    perm = np.asarray(perm, dtype=np.int64)
+    assert sorted(perm.tolist()) == list(range(n)), "not a permutation"
+
+    def permute_words(words):
+        out_bits = np.zeros((words.shape[0], n), dtype=np.uint64)
+        for i in range(n):
+            p = int(perm[i])
+            out_bits[:, i] = (
+                words[:, p // WORD_BITS] >> np.uint32(p % WORD_BITS)
+            ) & np.uint32(1)
+        out = np.zeros_like(words)
+        for i in range(n):
+            out[:, i // WORD_BITS] |= (
+                out_bits[:, i].astype(np.uint32) << np.uint32(i % WORD_BITS)
+            )
+        return out
+
+    a_new = permute_words(ham.a_masks)
+    b_new = permute_words(ham.b_words)
+    a_ints = words_to_pyints(a_new)
+    order = sorted(range(len(a_ints)), key=lambda m: a_ints[m])
+    starts = ham.group_starts
+    new_starts = [0]
+    b_parts, w_parts = [], []
+    for m in order:
+        s, e = int(starts[m]), int(starts[m + 1])
+        b_parts.append(b_new[s:e])
+        w_parts.append(ham.weights[s:e])
+        new_starts.append(new_starts[-1] + (e - s))
+    return PauliHamiltonian(
+        qubit_num=n,
+        constant=ham.constant,
+        a_masks=a_new[np.asarray(order)],
+        b_words=np.vstack(b_parts),
+        weights=np.concatenate(w_parts),
+        group_starts=np.asarray(new_starts, dtype=np.int64),
+    )
+
+
+def permute_det(det: int, perm) -> int:
+    """Relabel the bits of a determinant: new bit i = old bit perm[i]."""
+    return sum(((int(det) >> int(p)) & 1) << i for i, p in enumerate(perm))

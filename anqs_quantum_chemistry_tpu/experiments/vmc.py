@@ -92,6 +92,11 @@ class VMCConfig(Config):
     # chunk sizes -- the counterpart of the reference's coupling-method +
     # chunk-size knobs, compute_local_energies.py:15-45).
     engine_overrides: Optional[dict] = None
+    # Qubit relabeling for orbital-ordering experiments: new qubit i
+    # carries original spin-orbital qubit_perm[i] (reference HilbertSpace
+    # perm/inv_perm, hilbert_space.py:97-104). Applied consistently to the
+    # Hamiltonian, masker symmetries, and HF determinant.
+    qubit_perm: Optional[Tuple[int, ...]] = None
 
 
 class VMC:
@@ -115,10 +120,30 @@ class VMC:
         self.mol = mol
         self.mesh = mesh
         self.config = config or VMCConfig()
+        perm = self.config.qubit_perm
+        if perm is not None and (
+            self.config.couple_spin_flip
+            or getattr(anqs_config, "spin_flip_abs", False)
+            or getattr(anqs_config, "spin_flip_phase", False)
+        ):
+            raise ValueError(
+                "spin-flip coupling assumes the interleaved qubit order; "
+                "it cannot be combined with qubit_perm"
+            )
         if mol is not None:
             ham = mol.qubit_ham
-            masker = create_masker(mol, self.config.symmetry_level)
+            masker = create_masker(
+                mol, self.config.symmetry_level, perm=perm
+            )
             ref_det = mol.hf_det if ref_det is None else ref_det
+            if perm is not None:
+                from ..chem.jw import (
+                    permute_det,
+                    permute_qubits_hamiltonian,
+                )
+
+                ham = permute_qubits_hamiltonian(ham, perm)
+                ref_det = permute_det(ref_det, perm)
         self.ham = ham
         self.masker = masker
         self.grouping = QubitGrouping.create(
@@ -162,14 +187,20 @@ class VMC:
                 )
             from ..chem.fci import sector_determinants
 
-            dets = np.sort(
-                np.asarray(
-                    sector_determinants(
-                        mol.qubit_num, mol.n_alpha, mol.n_beta
-                    ),
-                    dtype=np.uint64,
-                )
+            dets = np.asarray(
+                sector_determinants(
+                    mol.qubit_num, mol.n_alpha, mol.n_beta
+                ),
+                dtype=np.uint64,
             )
+            if perm is not None:
+                permuted = np.zeros_like(dets)
+                for i, p in enumerate(perm):
+                    permuted |= (
+                        (dets >> np.uint64(p)) & np.uint64(1)
+                    ) << np.uint64(i)
+                dets = permuted
+            dets = np.sort(dets)
             assert len(dets) <= 1 << 20, (
                 f"sector too large for exact summation ({len(dets)})"
             )

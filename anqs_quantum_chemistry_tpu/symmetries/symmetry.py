@@ -87,14 +87,18 @@ def particle_number_symmetry(qubit_num: int, n_electrons: int) -> Symmetry:
     return Symmetry("particle_number", "add", local, 0, n_electrons)
 
 
-def spin_projection_symmetry(qubit_num: int, twice_sz: int) -> Symmetry:
+def spin_projection_symmetry(
+    qubit_num: int, twice_sz: int, perm=None
+) -> Symmetry:
     """Doubled-Sz conservation on interleaved spin-orbitals (even qubit =
     alpha -> +1, odd = beta -> -1); ref = 2*Sz = multiplicity - 1
-    (reference: .../spin_half_projection_symmetry.py:8-64, which uses the
-    same even/odd convention via ``inv_perm``)."""
+    (reference: .../spin_half_projection_symmetry.py:8-64, which applies
+    a qubit permutation the same way via ``inv_perm``). With ``perm``,
+    qubit ``i`` carries original spin-orbital ``perm[i]``."""
     local = np.zeros((qubit_num, 2), dtype=np.int64)
-    local[0::2, 1] = 1
-    local[1::2, 1] = -1
+    orig = np.arange(qubit_num) if perm is None else np.asarray(perm)
+    local[orig % 2 == 0, 1] = 1
+    local[orig % 2 == 1, 1] = -1
     return Symmetry("spin_projection", "add", local, 0, twice_sz)
 
 
