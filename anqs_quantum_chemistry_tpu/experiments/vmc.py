@@ -235,15 +235,6 @@ class VMC:
             (self.engine, "weights"),
             (self, "hf_words"),
         ]
-        if getattr(self.engine, "membership", None) == "prefilter":
-            targets.extend(
-                [
-                    (self.engine, "pf_ualpha"),
-                    (self.engine, "pf_ubeta"),
-                    (self.engine, "pf_ja"),
-                    (self.engine, "pf_jb"),
-                ]
-            )
         if getattr(self.anqs, "sign_structure", None) is not None:
             targets.append((self.anqs, "sign_structure"))
         if getattr(self, "exact_words", None) is not None:

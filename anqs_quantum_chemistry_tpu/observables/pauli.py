@@ -76,12 +76,15 @@ class PauliEngine:
         # chunk-order-sensitive; split is bit-stable, so it stays default).
         weights_matmul: str = "split",
         # 'auto' | 'table' | 'hash' | 'search' | 'prefilter'.
-        # 'prefilter' is the output-sensitive path for large-M molecules:
-        # an alpha/beta-string bitmap prefilter (MXU-expanded hit masks)
-        # bounds the expensive hash-row gathers to O(hits) instead of
-        # B x M (the reference's trie coupling achieves the same output
-        # sensitivity by pointer chasing, utils/trie.py:94-125 -- hostile
-        # to TPU; this is the dense-prefilter re-design).
+        # 'prefilter' is the cheap-first path for large-M molecules: a
+        # 32-bit key-FINGERPRINT pass (one 32-lane row gather + one lane
+        # compare per query, ~2.5x cheaper than the full 128-lane bucket
+        # lookup) decides candidacy with no false negatives and ~1e-8
+        # false positives; survivors are compacted per row by top_k and
+        # verified exactly against the full bucket table. This is the TPU
+        # re-design of the reference's output-sensitive trie coupling
+        # (reference: nqs/nqs/utils/trie.py:94-125,
+        # pauli_observable.py:682-696).
         membership: str = "auto",
         lookup_kernel: str = "xla",  # 'xla' | 'pallas' (hash path only)
         # max queries per membership-lookup chunk ((chunk, 128)-row gather
@@ -92,7 +95,6 @@ class PauliEngine:
         # all M groups, up to `prefilter_dense_rows` such rows per batch.
         prefilter_row_capacity: int = 64,
         prefilter_dense_rows: int = 256,
-        prefilter_bits: Optional[int] = None,  # alpha/beta bitmap log2 size
     ):
         self.qubit_num = ham.qubit_num
         self.constant = float(ham.constant)
@@ -105,7 +107,7 @@ class PauliEngine:
             if ham.qubit_num <= self.MAX_TABLE_QUBITS:
                 membership = "table"
             elif words <= 2:
-                membership = "hash"
+                membership = "prefilter"
             else:
                 membership = "search"
         self.membership = membership
@@ -114,7 +116,7 @@ class PauliEngine:
         self.prefilter_row_capacity = prefilter_row_capacity
         self.prefilter_dense_rows = prefilter_dense_rows
         if membership == "prefilter":
-            self._init_prefilter(ham, prefilter_bits)
+            assert words <= 2, "prefilter supports <= 64 qubits"
 
         self.a_words = jnp.asarray(ham.a_masks)  # (M, W) uint32
 
@@ -155,83 +157,18 @@ class PauliEngine:
         self.weights = jnp.asarray(ham.weights, dtype=jnp.float32)
 
     # ------------------------------------------------------------------
-    def _init_prefilter(self, ham: PauliHamiltonian, bits: Optional[int]):
-        """Host-side structure for the output-sensitive prefilter.
-
-        Every flip mask A_m splits into independent alpha/beta spin-string
-        flips (even/odd qubits, the reference's interleaved spin-orbital
-        convention, spin_half_projection_symmetry.py:47-53). x ^ A_m is in
-        the sampled set ONLY IF alpha(x) ^ alpha(A_m) is a sampled alpha
-        string and likewise for beta -- two cheap necessary conditions
-        whose (B, M) hit masks are MXU matmuls against static one-hot
-        group->unique-flip maps. Survivors are verified exactly.
-        """
-        from ..chem.jw import words_to_pyints
-
-        assert ham.qubit_num % 2 == 0, "prefilter needs even qubit count"
-        assert ham.a_masks.shape[1] <= 2, "prefilter supports <= 64 qubits"
-        n_half = ham.qubit_num // 2
-        a_ints = words_to_pyints(ham.a_masks)
-        alpha = np.zeros(len(a_ints), dtype=np.uint32)
-        beta = np.zeros(len(a_ints), dtype=np.uint32)
-        for i, v in enumerate(a_ints):
-            v = int(v)
-            a = b = 0
-            for j in range(n_half):
-                a |= ((v >> (2 * j)) & 1) << j
-                b |= ((v >> (2 * j + 1)) & 1) << j
-            alpha[i], beta[i] = a, b
-
-        import ml_dtypes
-
-        def one_hot_map(vals):
-            u, inv = np.unique(vals, return_inverse=True)
-            j = np.zeros((len(u), len(vals)), dtype=np.float32)
-            j[inv, np.arange(len(vals))] = 1.0
-            return (
-                jnp.asarray(u.astype(np.uint32)),
-                jnp.asarray(j.astype(ml_dtypes.bfloat16)),
-            )
-
-        self.pf_ualpha, self.pf_ja = one_hot_map(alpha)
-        self.pf_ubeta, self.pf_jb = one_hot_map(beta)
-        self.pf_string_bits = n_half
-        self.pf_bits = (
-            bits if bits is not None else min(n_half, 22)
-        )
-
-    def _pf_hash(self, v):
-        """uint32 spin-string -> bitmap index (identity when it fits)."""
-        if self.pf_bits >= self.pf_string_bits:
-            return v.astype(jnp.int32)
-        acc = self._mix2(v, jnp.zeros_like(v))
-        return (acc & jnp.uint32((1 << self.pf_bits) - 1)).astype(jnp.int32)
-
     @staticmethod
-    def _alpha_beta_strings(words):
-        """Packed (B, W<=2) words -> (alpha, beta) uint32 spin strings.
-
-        Even qubits are alpha spin-orbitals, odd beta (reference
-        convention); extraction is a SWAR parallel-bit-extract, pure
-        vector ALU.
-        """
-
-        def pext_even(x):
-            x = x & bitops.UINT(0x55555555)
-            x = (x | (x >> bitops.UINT(1))) & bitops.UINT(0x33333333)
-            x = (x | (x >> bitops.UINT(2))) & bitops.UINT(0x0F0F0F0F)
-            x = (x | (x >> bitops.UINT(4))) & bitops.UINT(0x00FF00FF)
-            x = (x | (x >> bitops.UINT(8))) & bitops.UINT(0x0000FFFF)
-            return x
-
-        lo = words[..., 0]
-        al = pext_even(lo)
-        be = pext_even(lo >> bitops.UINT(1))
-        if words.shape[-1] == 2:
-            hi = words[..., 1]
-            al = al | (pext_even(hi) << bitops.UINT(16))
-            be = be | (pext_even(hi >> bitops.UINT(1)) << bitops.UINT(16))
-        return al, be
+    def _fp32(lo, hi):
+        """Independent 32-bit key fingerprint (distinct constants from the
+        bucket hash so (bucket, fp) behave as independent hashes). The
+        zero value is reserved for empty fingerprint slots."""
+        acc = lo * jnp.uint32(0x9E3779B1)
+        acc = acc ^ (acc >> jnp.uint32(16))
+        acc = (acc ^ hi) * jnp.uint32(0x85EBCA77)
+        acc = acc ^ (acc >> jnp.uint32(13))
+        acc = acc * jnp.uint32(0xC2B2AE3D)
+        acc = acc ^ (acc >> jnp.uint32(16))
+        return acc | jnp.uint32(1)
 
     @staticmethod
     def _mix2(lo, hi):
@@ -473,10 +410,12 @@ class PauliEngine:
         out = self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
         return out._replace(table_overflow=overflow_count)
 
-    def _hash_build(self, words, log_abs, phase, valid):
+    def _hash_build(self, words, log_abs, phase, valid, with_fp=False):
         """Scatter (key, log|psi|, phase) entries of the valid sample rows
         into planar hash-bucket rows. Returns (table, n_buckets,
-        overflow_count).
+        overflow_count), plus a (n_buckets, 32) uint32 fingerprint table
+        when ``with_fp`` (same bucket/rank assignment, so fingerprint
+        membership has no false negatives relative to the full table).
 
         PLANAR bucket layout: lanes [0,32) key_lo, [32,64) key_hi,
         [64,96) log|psi|, [96,128) phase -- contiguous lane ranges per
@@ -527,7 +466,13 @@ class PauliEngine:
             jnp.where(valid, log_abs, neg), mode="drop"
         )
         tab = tab.at[row_i, lane + 96].set(phase, mode="drop")
-        return tab, nb, jnp.sum(overflow).astype(jnp.int32)
+        overflow_count = jnp.sum(overflow).astype(jnp.int32)
+        if not with_fp:
+            return tab, nb, overflow_count
+        fptab = jnp.zeros((nb, 32), dtype=jnp.uint32).at[row_i, lane].set(
+            self._fp32(w_lo, w_hi), mode="drop"
+        )
+        return tab, nb, overflow_count, fptab
 
     def _hash_query(self, tab, nb, q_lo, q_hi):
         """Flat uint32 query words -> (log|psi|, phase); misses get NEG.
@@ -561,26 +506,29 @@ class PauliEngine:
         return self._chunked_queries(lookup, (q_lo, q_hi))
 
     def _proxy_via_prefilter(self, words, log_abs, phase, valid):
-        """Output-sensitive membership: alpha/beta-string prefilter +
-        top_k compaction + exact hash verification of survivors.
+        """Cheap-first membership: fingerprint pass + top_k compaction +
+        exact hash verification of survivors.
 
-        The hash path pays one 128-lane row gather per (sample, group)
-        query -- B x M gathers, ~13 ns each on v5e, even though only a
-        tiny fraction of queries hit (e.g. Li2O/STO-3G: ~14k hits out of
-        25M queries). This path bounds the per-index work to O(hits):
+        The full bucket lookup pays one 128-lane row gather PLUS ~7
+        lane-shaped compare/select ops per (sample, group) query (~9 ns/q
+        on v5e; every op on a (Q, <=128) gathered-row array costs a full
+        vreg row because sub-128 minor dims pad to 128 lanes). The
+        fingerprint pass needs one 32-lane uint32 row gather, ONE lane
+        compare, and an MXU reduction (~3.5 ns/q), with exactness
+        guaranteed by construction:
 
-        1. Necessary conditions as MXU matmuls: x ^ A_m sampled requires
-           alpha(x)^alpha(A_m) in the sampled alpha-string set (same for
-           beta). Per-sample bitmap probes run over the UNIQUE alpha/beta
-           flips (B x M_a + B x M_b single-element 1D gathers, M_a+M_b
-           << 2M), then expand to (B, M) via one-hot matmuls.
-        2. Compaction: per-row ``top_k`` (pure sorting-network vector
-           work, no gathers) keeps up to ``prefilter_row_capacity``
-           candidate groups per sample.
-        3. Exact verify: hash-row gathers only for the B x c_row
-           candidates. Rows with more candidates than c_row (a few
-           high-amplitude determinants couple to many sampled partners)
-           are re-done densely over all M groups, up to
+        1. Fingerprint pass over all (B, M) connected keys: candidate iff
+           any entry of the key's bucket has the query's 32-bit
+           fingerprint. Same bucket/rank assignment as the full table, so
+           NO false negatives; false positives ~ 32/2^32 per query.
+        2. Compaction: per-row ``top_k`` (sorting-network vector work, no
+           gathers) keeps up to ``prefilter_row_capacity`` candidates per
+           sample -- at real workloads candidates are ~ true connected
+           pairs (a handful per row).
+        3. Exact verify: full 128-lane bucket lookups only for the
+           B x c_row candidates. Rows with more candidates than c_row
+           (a few high-amplitude determinants couple to many sampled
+           partners) are re-done densely over all M groups, up to
            ``prefilter_dense_rows`` rows; rows beyond that are counted in
            ``pf_dropped_rows`` (0 == exact).
 
@@ -596,30 +544,35 @@ class PauliEngine:
         c_row = min(self.prefilter_row_capacity, m)
         r_cap = self.prefilter_dense_rows
 
-        tab, nb, build_overflow = self._hash_build(
-            words, log_abs, phase, valid
+        tab, nb, build_overflow, fptab = self._hash_build(
+            words, log_abs, phase, valid, with_fp=True
         )
 
-        # --- Stage 1: (B, M) candidate mask from spin-string bitmaps.
-        al, be = self._alpha_beta_strings(words)
-        bm_size = 1 << self.pf_bits
-        bma = jnp.zeros((bm_size,), jnp.float32).at[
-            jnp.where(valid, self._pf_hash(al), bm_size)
-        ].set(1.0, mode="drop")
-        bmb = jnp.zeros((bm_size,), jnp.float32).at[
-            jnp.where(valid, self._pf_hash(be), bm_size)
-        ].set(1.0, mode="drop")
-        qa = bma[self._pf_hash(al[:, None] ^ self.pf_ualpha[None, :])]
-        qb = bmb[self._pf_hash(be[:, None] ^ self.pf_ubeta[None, :])]
-        hita = jnp.dot(
-            qa.astype(jnp.bfloat16), self.pf_ja,
-            preferred_element_type=jnp.float32,
+        # --- Stage 1: (B, M) candidate mask from the fingerprint pass.
+        xp_lo = words[:, 0][:, None] ^ self.a_words[:, 0][None, :]
+        if w == 2:
+            xp_hi = words[:, 1][:, None] ^ self.a_words[:, 1][None, :]
+        else:
+            xp_hi = jnp.zeros_like(xp_lo)
+
+        def fp_probe(q_lo, q_hi):
+            bucket = (
+                self._mix2(q_lo, q_hi) & jnp.uint32(nb - 1)
+            ).astype(jnp.int32)
+            rows_fp = fptab[bucket]  # (chunk, 32) uint32
+            match = (rows_fp == self._fp32(q_lo, q_hi)[..., None]).astype(
+                jnp.float32
+            )
+            count = jnp.dot(
+                match, jnp.ones((32, 1), jnp.float32),
+                preferred_element_type=jnp.float32,
+            )[..., 0]
+            return (count > 0.5,)
+
+        (hit_flat,) = self._chunked_queries(
+            fp_probe, (xp_lo.reshape(-1), xp_hi.reshape(-1))
         )
-        hitb = jnp.dot(
-            qb.astype(jnp.bfloat16), self.pf_jb,
-            preferred_element_type=jnp.float32,
-        )
-        hit = (hita > 0.5) & (hitb > 0.5) & valid[:, None]
+        hit = hit_flat.reshape(b, m) & valid[:, None]
 
         # --- Stage 2: per-row compaction (descending key = hit groups in
         # ascending-m order; 0 = no candidate).

@@ -396,11 +396,6 @@ def test_membership_prefilter_matches_search():
     ).local_energy_proxy(sw, la, ph, sv)
     assert int(e_trunc.pf_dropped_rows) > 0
 
-    # Hashed-bitmap regime (prefilter_bits < string bits): false positives
-    # must be verified away.
-    e = check(mol.qubit_ham, sw, la, ph, sv, prefilter_bits=4)
-    assert int(e.pf_dropped_rows) == 0
-
     # 40-qubit (W=2) embedding of a random 12-orbital problem.
     h1 = np.zeros((40, 40))
     sub = rng.standard_normal((12, 12))
@@ -411,3 +406,19 @@ def test_membership_prefilter_matches_search():
     ham40 = jordan_wigner_pauli_hamiltonian(h1, v)
     sw, la, ph, sv = prep(40, 64, active=12)
     check(ham40, sw, la, ph, sv)
+
+
+def test_prefilter_is_auto_above_table_range():
+    """'auto' membership picks the fingerprint prefilter for n > 22
+    (<= 64 qubits, any parity)."""
+    from anqs_quantum_chemistry_tpu.chem.jw import (
+        jordan_wigner_pauli_hamiltonian,
+    )
+    from anqs_quantum_chemistry_tpu.observables.pauli import PauliEngine
+
+    rng = np.random.default_rng(5)
+    h1 = np.zeros((26, 26))
+    sub = rng.standard_normal((6, 6))
+    h1[:6, :6] = sub + sub.T
+    ham = jordan_wigner_pauli_hamiltonian(h1, np.zeros((26,) * 4))
+    assert PauliEngine(ham).membership == "prefilter"
