@@ -25,7 +25,10 @@ from anqs_quantum_chemistry_tpu.optim.sr import SRConfig
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    sample_num = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
+    # 8192 unique samples (the reference toy uses 1e4): power-of-two batch
+    # keeps XLA tiling clean and shares the compile cache with the
+    # membership timing harness (tools/bench_li2o_membership.py).
+    sample_num = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
 
     mol = Molecule.create(
         MolConfig(name="Li2O"), mols_dir="mols", run_fci=False

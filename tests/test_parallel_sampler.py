@@ -59,3 +59,49 @@ def test_sharded_frontier_bit_exact():
     )
     # And the sharded run is on 8 devices for real.
     assert len(sharded.words.sharding.device_set) >= 1
+
+
+def test_prefilter_membership_mesh_agreement():
+    """Full sharded train step with the fingerprint-prefilter membership:
+    8-device CPU mesh metrics == single-device metrics (the scatter/top_k/
+    gather pipeline must survive GSPMD partitioning)."""
+    import numpy as np
+
+    from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+    from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
+    from anqs_quantum_chemistry_tpu.models.anqs import AnqsConfig
+
+    mol = Molecule.create(
+        MolConfig(name="H2O"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+
+    def run(mesh):
+        vmc = VMC(
+            mol,
+            VMCConfig(
+                sample_num=256,
+                sampling_mode="gumbel",
+                qubit_per_qudit=3,
+                lr=2e-3,
+                engine_overrides={"membership": "prefilter"},
+            ),
+            AnqsConfig(hidden_widths=(32,)),
+            mesh=mesh,
+        )
+        params, opt_state, key = vmc.init_state()
+        if mesh is None:
+            out = vmc._step(params, opt_state, key)
+        else:
+            with mesh:
+                out = jax.jit(vmc._step_impl)(params, opt_state, key)
+        return {k: float(v) for k, v in out[3].items()}
+
+    m1 = run(None)
+    m8 = run(make_mesh(8))
+    for k in m1:
+        a, b = m1[k], m8[k]
+        if np.isnan(a) and np.isnan(b):
+            continue
+        assert abs(a - b) <= 1e-5 + 1e-4 * abs(a), (k, a, b)
+    assert m1["found_pairs"] > 0
