@@ -70,11 +70,17 @@ class PauliEngine:
         ham: PauliHamiltonian,
         sign_dtype: str = "bfloat16",
         me_chunk: Optional[int] = None,
-        # 'split' | 'highest' | 'fast' | 'pallas'. The exact options cost
-        # ~5-6 ms at 16384x2951x536 on v5e (HIGHEST measured ~20% faster
-        # than the 3-pass bf16 split, but its f32 reductions are
-        # chunk-order-sensitive; split is bit-stable, so it stays default).
-        weights_matmul: str = "split",
+        # 'auto' | 'split' | 'highest' | 'fast' | 'pallas' | 'grouped'.
+        # The exact options cost ~5-6 ms at 16384x2951x536 on v5e (HIGHEST
+        # measured ~20% faster than the 3-pass bf16 split, but its f32
+        # reductions are chunk-order-sensitive; split is bit-stable, so it
+        # is the default at moderate sizes). 'grouped' avoids the dense
+        # (T, M) weight-folded one-hot entirely (13 GB for C2H4/6-31G at
+        # T=104278, M=20776): groups are padded into power-of-two size
+        # classes and reduced class-by-class from the sign matrix --
+        # O(B*T) work, no T x M memory. 'auto' picks 'grouped' when the
+        # dense operand would exceed ~0.5 GB, else 'split'.
+        weights_matmul: str = "auto",
         # 'auto' | 'table' | 'hash' | 'search' | 'prefilter'.
         # 'prefilter' is the cheap-first path for large-M molecules: a
         # 32-bit key-FINGERPRINT pass (one 32-lane row gather + one lane
@@ -101,7 +107,15 @@ class PauliEngine:
         self.n_groups = ham.n_groups
         self.n_terms = ham.n_terms
         self.me_chunk = me_chunk
+        if weights_matmul == "auto":
+            weights_matmul = (
+                "grouped"
+                if ham.n_terms * ham.n_groups * 2 > (1 << 29)
+                else "split"
+            )
         self.weights_matmul = weights_matmul
+        if weights_matmul == "grouped":
+            ham = self._regroup_by_size_class(ham)
         words = ham.a_masks.shape[1]
         if membership == "auto":
             if ham.qubit_num <= self.MAX_TABLE_QUBITS:
@@ -128,33 +142,95 @@ class PauliEngine:
         self.b_bits = jnp.asarray(b_bits, dtype=jnp.dtype(sign_dtype))
         self.sign_dtype = jnp.dtype(sign_dtype)
 
-        # Weight-folded group one-hot (T, M) for the second matmul.
         group_id = np.zeros(ham.n_terms, dtype=np.int64)
         for m in range(ham.n_groups):
             group_id[ham.group_starts[m] : ham.group_starts[m + 1]] = m
-        g = np.zeros((ham.n_terms, ham.n_groups), dtype=np.float32)
-        g[np.arange(ham.n_terms), group_id] = ham.weights.astype(np.float32)
-        self.group_weights = jnp.asarray(g)
-        # Split-weight decomposition: G = sum of 3 successive bf16 residual
-        # rounds, covering the full f32 mantissa. Default-precision MXU
-        # matmuls against the +-1 sign matrix then reproduce the f32 result
-        # exactly at half the cost of Precision.HIGHEST.
-        #
-        # The bf16 cast happens HOST-SIDE (ml_dtypes): a bfloat16
-        # device->host transfer through the axon tunnel permanently degrades
-        # later dispatches of gather-bearing programs to ~475 ms each
-        # (measured; see CLAUDE.md "environment facts").
-        import ml_dtypes
+        if weights_matmul == "grouped":
+            # Per-class (M_c, k_c) weight blocks; no dense (T, M) operand.
+            self.group_weights = None
+            self.group_weight_splits = ()
+            w_all = ham.weights.astype(np.float32)
+            blocks, off = [], 0
+            for mc, kc in self.me_classes:
+                blocks.append(
+                    jnp.asarray(w_all[off : off + mc * kc].reshape(mc, kc))
+                )
+                off += mc * kc
+            assert off == ham.n_terms
+            self.me_class_weights = tuple(blocks)
+        else:
+            # Weight-folded group one-hot (T, M) for the second matmul.
+            g = np.zeros((ham.n_terms, ham.n_groups), dtype=np.float32)
+            g[np.arange(ham.n_terms), group_id] = ham.weights.astype(
+                np.float32
+            )
+            self.group_weights = jnp.asarray(g)
+            # Split-weight decomposition: G = sum of 3 successive bf16
+            # residual rounds, covering the full f32 mantissa.
+            # Default-precision MXU matmuls against the +-1 sign matrix
+            # then reproduce the f32 result exactly at half the cost of
+            # Precision.HIGHEST.
+            #
+            # The bf16 cast happens HOST-SIDE (ml_dtypes): a bfloat16
+            # device->host transfer through the axon tunnel permanently
+            # degrades later dispatches of gather-bearing programs to
+            # ~475 ms each (measured; see CLAUDE.md "environment facts").
+            import ml_dtypes
 
-        splits = []
-        residual = g.astype(np.float32)
-        for _ in range(3):  # 3 bf16 terms cover the full f32 mantissa
-            part = residual.astype(ml_dtypes.bfloat16)
-            splits.append(jnp.asarray(part))
-            residual = residual - part.astype(np.float32)
-        self.group_weight_splits = tuple(splits)
+            splits = []
+            residual = g.astype(np.float32)
+            for _ in range(3):  # 3 bf16 terms cover the full f32 mantissa
+                part = residual.astype(ml_dtypes.bfloat16)
+                splits.append(jnp.asarray(part))
+                residual = residual - part.astype(np.float32)
+            self.group_weight_splits = tuple(splits)
+            self.me_class_weights = ()
         self.group_id = jnp.asarray(group_id, dtype=jnp.int32)
         self.weights = jnp.asarray(ham.weights, dtype=jnp.float32)
+
+    # ------------------------------------------------------------------
+    def _regroup_by_size_class(
+        self, ham: PauliHamiltonian
+    ) -> PauliHamiltonian:
+        """Reorder groups by power-of-two-padded size class and pad each
+        group's term block to its class size (pad terms: B = 0 -> sign +1,
+        weight 0 -> zero contribution). Sets ``self.me_classes`` =
+        [(groups_in_class, padded_size), ...] in stream order; the
+        returned Hamiltonian's ``a_masks`` are in class-major order, which
+        becomes the engine's group order (membership and combine only need
+        me columns to match ``a_words`` rows)."""
+        sizes = np.diff(ham.group_starts).astype(np.int64)
+        kpad = np.array(
+            [1 << int(max(0, (int(s) - 1).bit_length())) for s in sizes],
+            dtype=np.int64,
+        )
+        order = np.argsort(kpad, kind="stable")
+        w_words = ham.b_words.shape[1]
+        b_parts, w_parts, starts = [], [], [0]
+        classes = []
+        for m in order:
+            k = int(kpad[m])
+            s, e = int(ham.group_starts[m]), int(ham.group_starts[m + 1])
+            pad = k - (e - s)
+            b_parts.append(ham.b_words[s:e])
+            w_parts.append(ham.weights[s:e])
+            if pad:
+                b_parts.append(np.zeros((pad, w_words), dtype=np.uint32))
+                w_parts.append(np.zeros(pad, dtype=ham.weights.dtype))
+            starts.append(starts[-1] + k)
+            if classes and classes[-1][1] == k:
+                classes[-1][0] += 1
+            else:
+                classes.append([1, k])
+        self.me_classes = [(int(mc), int(kc)) for mc, kc in classes]
+        return PauliHamiltonian(
+            qubit_num=ham.qubit_num,
+            constant=ham.constant,
+            a_masks=ham.a_masks[order],
+            b_words=np.vstack(b_parts),
+            weights=np.concatenate(w_parts),
+            group_starts=np.asarray(starts, dtype=np.int64),
+        )
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -205,6 +281,17 @@ class PauliEngine:
                 preferred_element_type=jnp.float32,
             )
             sign = 1.0 - 2.0 * jnp.mod(p, 2.0)
+            if self.weights_matmul == "grouped":
+                # Class-major weighted reduces: exact f32 products of
+                # +-1 signs with f32 weights, no (T, M) dense operand.
+                outs, off = [], 0
+                for wcls, (mc, kc) in zip(
+                    self.me_class_weights, self.me_classes
+                ):
+                    blk = sign[:, off : off + mc * kc].reshape(-1, mc, kc)
+                    outs.append(jnp.einsum("bmk,mk->bm", blk, wcls))
+                    off += mc * kc
+                return jnp.concatenate(outs, axis=1)
             # The default TPU matmul multiplies f32 operands in bfloat16,
             # which costs ~1e-3 relative error on the weight sums --
             # unacceptable for Hartree-scale energies. The sign matmul above

@@ -56,8 +56,11 @@ def main():
     )
 
     t0 = time.perf_counter()
+    steady = {}  # first-window end -> excludes compile/init warmup
 
     def progress(it, row):
+        if it >= 25 and not steady:
+            steady.update(t=time.perf_counter(), it=it)
         if it % 50 == 0:
             print(
                 f"iter {it:5d} E {row['energy']:+.6f} "
@@ -72,11 +75,13 @@ def main():
         iter_num=iters, on_iter=progress, checkpoint_every=None,
         steps_per_call=25,
     )
-    elapsed = time.perf_counter() - t0
+    per_iter = (time.perf_counter() - steady["t"]) / max(
+        1, len(history) - steady["it"] - 1
+    )
     print(
         f"best {best['energy']:.6f} at iter {best['iter']} "
-        f"({elapsed / max(1, len(history)):.3f} s/iter; reference Colab "
-        f"toy model: ~0.36 s/iter)"
+        f"({per_iter:.3f} s/iter steady-state, compile/init excluded; "
+        f"reference Colab toy model: ~0.36 s/iter)"
     )
 
 

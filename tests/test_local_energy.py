@@ -422,3 +422,50 @@ def test_prefilter_is_auto_above_table_range():
     h1[:6, :6] = sub + sub.T
     ham = jordan_wigner_pauli_hamiltonian(h1, np.zeros((26,) * 4))
     assert PauliEngine(ham).membership == "prefilter"
+
+
+def test_grouped_matrix_elements_match_split():
+    """'grouped' (class-major padded reduces, no dense (T, M) operand) ==
+    'split' (bf16 split matmuls) local energies; needed for large-M
+    molecules where the dense operand would be GBs (C2H4/6-31G: 13 GB)."""
+    import jax.numpy as jnp
+
+    from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+    from anqs_quantum_chemistry_tpu.observables.pauli import PauliEngine
+    from anqs_quantum_chemistry_tpu.ops import bits as bitops, keys
+
+    mol = Molecule.create(
+        MolConfig(name="H2O"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+    rng = np.random.default_rng(17)
+    n = mol.qubit_num
+    bits = rng.integers(0, 2, size=(64, n))
+    words = bitops.pack(jnp.asarray(bits))
+    sw, _ = keys.sort_words(words)
+    sv = keys.unique_mask(sw)
+    la = jnp.asarray(-np.abs(rng.standard_normal(64)), jnp.float32)
+    ph = jnp.asarray(rng.standard_normal(64), jnp.float32)
+
+    e_g = PauliEngine(
+        mol.qubit_ham, weights_matmul="grouped", membership="search"
+    ).local_energy_proxy(sw, la, ph, sv)
+    e_s = PauliEngine(
+        mol.qubit_ham, weights_matmul="split", membership="search"
+    ).local_energy_proxy(sw, la, ph, sv)
+    np.testing.assert_allclose(
+        np.asarray(e_g.e_re), np.asarray(e_s.e_re), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_g.t_re), np.asarray(e_s.t_re), rtol=1e-5, atol=1e-6
+    )
+    assert int(e_g.found_pairs) == int(e_s.found_pairs)
+
+    # grouped + prefilter membership together (the C2H4 configuration).
+    e_gp = PauliEngine(
+        mol.qubit_ham, weights_matmul="grouped", membership="prefilter"
+    ).local_energy_proxy(sw, la, ph, sv)
+    np.testing.assert_allclose(
+        np.asarray(e_gp.e_re), np.asarray(e_s.e_re), rtol=1e-5, atol=1e-5
+    )
+    assert int(e_gp.found_pairs) == int(e_s.found_pairs)
