@@ -1,0 +1,92 @@
+"""C2H4/6-31G (52 qubits): transformer ANQS in the peaked-wavefunction regime.
+
+Config 5 of the BASELINE.md ladder (the reference's "peaked molecular
+wave functions" workload on a ~60-qubit-class active space): a causal
+transformer over 13 qudit tokens, Gumbel top-k unique sampling, grouped
+matrix elements (no dense (T, M) operand at T=104278, M=20776) and
+fingerprint-prefilter membership.
+
+Baselines (this repo's standalone chem stack):
+  HF -78.003574  MP2 -78.186426  CISD -78.197997  CCSD -78.213678
+  CCSD(T) -78.219007
+
+Usage: python examples/c2h4_transformer.py [iters] [sample_num]
+Writes runs/c2h4/result.csv.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
+from anqs_quantum_chemistry_tpu.models.anqs import AnqsConfig
+from anqs_quantum_chemistry_tpu.optim.sr import SRConfig
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    sample_num = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+
+    mol = Molecule.create(
+        MolConfig(name="C2H4", basis="6-31g"), mols_dir="mols",
+        run_fci=False,
+    )
+    ref = mol.ccsd_t_energy or mol.ccsd_energy or mol.hf_energy
+    print(
+        f"C2H4/6-31G: {mol.qubit_num} qubits, M={mol.qubit_ham.n_groups}; "
+        f"HF {mol.hf_energy:.6f} CISD {mol.cisd_energy} "
+        f"CCSD(T) {mol.ccsd_t_energy}",
+        flush=True,
+    )
+
+    vmc = VMC(
+        mol,
+        VMCConfig(
+            sample_num=sample_num,
+            sampling_mode="gumbel",
+            qubit_per_qudit=4,
+            lr=1e-3,
+            lr_schedule=((0, 1e-3), (1500, 3e-4)),
+            grad_clip_norm=1.0,
+            sr=SRConfig(max_indices_num=50),
+            seed=0,
+        ),
+        AnqsConfig(
+            net_type="transformer", d_model=128, n_layers=3, n_heads=4,
+            d_ff=512,
+        ),
+        run_dir="runs/c2h4",
+    )
+
+    t0 = time.perf_counter()
+
+    def progress(it, row):
+        if it % 50 == 0:
+            print(
+                f"iter {it:5d} E {row['energy']:+.6f} "
+                f"corr {(row['energy'] - mol.hf_energy) * 1e3:+.1f} mHa "
+                f"gap-to-CCSD(T) {(row['energy'] - ref) * 1e3:+.1f} mHa "
+                f"found {int(row['found_pairs'])} "
+                f"ipr {row['ipr']:.3f} "
+                f"[{time.perf_counter() - t0:.0f}s]",
+                flush=True,
+            )
+
+    params, opt_state, history, best = vmc.run(
+        iter_num=iters, on_iter=progress, checkpoint_every=1000,
+        steps_per_call=25,
+    )
+    print(
+        f"best {best['energy']:.6f} at iter {best['iter']} "
+        f"(corr {(best['energy'] - mol.hf_energy) * 1e3:+.1f} mHa of "
+        f"CCSD(T) {(ref - mol.hf_energy) * 1e3:+.1f} mHa)"
+    )
+
+
+if __name__ == "__main__":
+    main()
