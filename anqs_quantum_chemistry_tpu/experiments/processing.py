@@ -82,3 +82,38 @@ def plot_energy_vs_reference(
     if out_path:
         fig.savefig(out_path, dpi=150)
     return fig, ax
+
+
+def plot_dissociation_curve(csv_path: str, out_path: Optional[str] = None):
+    """HF/CISD/FCI/VMC energies vs bond length + the VMC-FCI gap panel
+    (the dissociation-curve artifact of BASELINE.md ladder config 3;
+    reference plots the same comparison in processing/plotting.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    data = np.genfromtxt(csv_path, delimiter=",", names=True)
+    fig, (ax, ax2) = plt.subplots(
+        2, 1, figsize=(7, 6), sharex=True,
+        gridspec_kw={"height_ratios": [3, 1]},
+    )
+    ax.grid(alpha=0.3)
+    ax.plot(data["r_angstrom"], data["hf"], "s--", lw=1, label="HF")
+    ax.plot(data["r_angstrom"], data["cisd"], "^--", lw=1, label="CISD")
+    ax.plot(data["r_angstrom"], data["fci"], "k-", lw=1.5, label="FCI")
+    ax.plot(data["r_angstrom"], data["vmc"], "o", ms=5, label="ANQS VMC")
+    ax.set_ylabel("energy (Ha)")
+    ax.legend(fontsize=9)
+
+    ax2.grid(alpha=0.3)
+    gap_mha = (data["vmc"] - data["fci"]) * 1e3
+    ax2.axhspan(0, CHEMICAL_ACCURACY * 1e3, color="grey", alpha=0.35,
+                label="chemical accuracy")
+    ax2.plot(data["r_angstrom"], gap_mha, "o-", ms=5)
+    ax2.set_xlabel("bond length (angstrom)")
+    ax2.set_ylabel(r"$E_{VMC} - E_{FCI}$ (mHa)")
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=150)
+    return fig
