@@ -50,8 +50,9 @@ def build_vmc():
         VMCConfig(
             sample_num=16384,
             sampling_mode="gumbel",
-            qubit_per_qudit=5,
+            qubit_per_qudit=10,
             lr=1e-3,
+            grad_clip_norm=1.0,
             sr=SRConfig(max_indices_num=50),
             seed=0,
         ),
