@@ -150,9 +150,11 @@ class VMC:
             self.masker, qubit_per_qudit=self.config.qubit_per_qudit
         )
         self.anqs = ANQS(self.grouping, anqs_config or AnqsConfig())
-        self.engine = PauliEngine(
-            ham, **(self.config.engine_overrides or {})
-        )
+        engine_kwargs = dict(self.config.engine_overrides or {})
+        if engine_kwargs.get("membership") == "hash_dist":
+            # The distributed bucket table shards over the VMC data mesh.
+            engine_kwargs.setdefault("mesh", mesh)
+        self.engine = PauliEngine(ham, **engine_kwargs)
         self.sampling_config = SamplingConfig(
             sample_num=self.config.sample_num,
             mode=self.config.sampling_mode,

@@ -101,6 +101,12 @@ class PauliEngine:
         # all M groups, up to `prefilter_dense_rows` such rows per batch.
         prefilter_row_capacity: int = 64,
         prefilter_dense_rows: int = 256,
+        # membership='hash_dist' only: device mesh whose `mesh_axis` shards
+        # the sample rows; the hash table is sharded bucket-wise over the
+        # same axis with all_to_all query routing
+        # (parallel/dist_membership.py).
+        mesh=None,
+        mesh_axis: str = "data",
     ):
         self.qubit_num = ham.qubit_num
         self.constant = float(ham.constant)
@@ -125,6 +131,10 @@ class PauliEngine:
             else:
                 membership = "search"
         self.membership = membership
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if membership == "hash_dist":
+            assert mesh is not None, "hash_dist needs a device mesh"
         self.lookup_kernel = lookup_kernel
         self.lookup_chunk = lookup_chunk
         self.prefilter_row_capacity = prefilter_row_capacity
@@ -358,6 +368,10 @@ class PauliEngine:
             return self._proxy_via_table(sorted_words, log_abs, phase, valid)
         if self.membership == "hash":
             return self._proxy_via_hash(sorted_words, log_abs, phase, valid)
+        if self.membership == "hash_dist":
+            return self._proxy_via_hash_dist(
+                sorted_words, log_abs, phase, valid
+            )
         if self.membership == "prefilter":
             return self._proxy_via_prefilter(
                 sorted_words, log_abs, phase, valid
@@ -493,6 +507,25 @@ class PauliEngine:
             ph_p = ph_p.reshape(shape)
             found = (la_p > 0.5 * neg) & valid[:, None]
 
+        me = self.matrix_elements(words)
+        out = self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
+        return out._replace(table_overflow=overflow_count)
+
+    def _proxy_via_hash_dist(self, words, log_abs, phase, valid):
+        """Membership via a device-SHARDED bucket table: each mesh device
+        owns nb/D contiguous buckets; entries and queries are routed to
+        their owner with fixed-capacity all_to_alls and answered with the
+        same planar one-row-gather lookup as the replicated hash path.
+        Bit-exact vs membership='hash' (tests/test_dist_membership.py);
+        table memory and gather work scale 1/D with the mesh."""
+        from ..parallel.dist_membership import hash_membership_dist
+
+        neg = jnp.float32(-1e30)
+        la_p, ph_p, overflow_count = hash_membership_dist(
+            self.mesh, self.mesh_axis, words, log_abs, phase, valid,
+            self.a_words, lookup_chunk=self.lookup_chunk,
+        )
+        found = (la_p > 0.5 * neg) & valid[:, None]
         me = self.matrix_elements(words)
         out = self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
         return out._replace(table_overflow=overflow_count)

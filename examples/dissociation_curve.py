@@ -6,7 +6,13 @@ Uses the winning N2 recipe (qpq=10, grad clip, SR top-50) with exact
 sector summation.
 
 Usage: python examples/dissociation_curve.py [n_points] [iters]
-Writes runs/n2_dissociation.csv.
+Writes runs/n2_dissociation.csv (one row appended per finished point).
+
+Crash-resilient: each point's run dir carries a FINISHED marker once its
+iteration budget completes (the series-runner bookkeeping of
+experiments/series.py); re-running the script skips finished points and
+re-trains interrupted ones, so an interrupted sweep resumes where it
+left off (reference: nqs/nqs/energy_opt_exp_sandbox.py:50-121).
 """
 
 import os
@@ -34,9 +40,16 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
     lengths = np.linspace(0.9, 2.0, n_points)
 
-    rows = []
+    os.makedirs("runs", exist_ok=True)
+    summary = "runs/n2_dissociation.csv"
+    if not os.path.exists(summary):
+        with open(summary, "w") as f:
+            f.write("# r_angstrom,hf,cisd,fci,vmc\n")
+
     for r in lengths:
         t0 = time.perf_counter()
+        run_dir = f"runs/n2_r{r:.3f}"
+        marker = os.path.join(run_dir, "FINISHED")
         mol = Molecule.create(
             MolConfig(
                 name="N2",
@@ -46,6 +59,11 @@ def main():
             ),
             mols_dir="mols",
         )
+        if os.path.exists(marker):
+            best_e, _ = np.load(os.path.join(run_dir, "best_energy.npy"))
+            print(f"r={r:.3f}  skipped (FINISHED, best {best_e:.5f})",
+                  flush=True)
+            continue
         vmc = VMC(
             mol,
             VMCConfig(
@@ -56,12 +74,15 @@ def main():
                 qubit_per_qudit=10,
             ),
             AnqsConfig(hidden_widths=(512,)),
-            run_dir=f"runs/n2_r{r:.3f}",
+            run_dir=run_dir,
         )
         _, _, history, best = vmc.run(iter_num=iters, steps_per_call=25,
                                       checkpoint_every=None)
-        rows.append((r, mol.hf_energy, mol.cisd_energy, mol.fci_energy,
-                     best["energy"]))
+        with open(marker, "w") as f:
+            f.write(f"iters={iters}\n")
+        with open(summary, "a") as f:
+            f.write(f"{r},{mol.hf_energy},{mol.cisd_energy},"
+                    f"{mol.fci_energy},{best['energy']}\n")
         print(
             f"r={r:.3f}  HF {mol.hf_energy:.5f}  FCI {mol.fci_energy:.5f}"
             f"  VMC {best['energy']:.5f}"
@@ -69,14 +90,6 @@ def main():
             f"  [{time.perf_counter() - t0:.0f}s]",
             flush=True,
         )
-
-    os.makedirs("runs", exist_ok=True)
-    np.savetxt(
-        "runs/n2_dissociation.csv",
-        np.array(rows, dtype=float),
-        header="r_angstrom,hf,cisd,fci,vmc",
-        delimiter=",",
-    )
 
 
 if __name__ == "__main__":

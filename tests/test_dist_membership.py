@@ -1,0 +1,124 @@
+"""Device-sharded hash membership == replicated hash membership.
+
+The distributed table (parallel/dist_membership.py) must return the exact
+same partner amplitudes and found pairs as the single-table hash path: the
+bucket assignment is identical, only ownership and routing differ.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+from anqs_quantum_chemistry_tpu.observables.pauli import PauliEngine
+from anqs_quantum_chemistry_tpu.ops import bits as bitops, keys
+from anqs_quantum_chemistry_tpu.parallel.mesh import make_mesh
+
+
+def _random_sorted_samples(rng, n, n_samp, active=None):
+    bits = np.zeros((n_samp, n), dtype=np.int64)
+    cols = active if active is not None else range(n)
+    for c in cols:
+        bits[:, c] = rng.integers(0, 2, size=n_samp)
+    words = bitops.pack(jnp.asarray(bits))
+    valid = jnp.asarray(rng.random(n_samp) < 0.9)
+    words = jnp.where(
+        valid[:, None], words,
+        jnp.full_like(words, bitops.UINT(0xFFFFFFFF)),
+    )
+    sw, _, sv = keys.sort_words(words, valid.astype(jnp.int32))
+    sv = sv.astype(bool) & keys.unique_mask(sw)
+    la = jnp.asarray(rng.standard_normal(n_samp), jnp.float32)
+    ph = jnp.asarray(rng.standard_normal(n_samp), jnp.float32)
+    return sw, la, ph, sv
+
+
+def test_hash_dist_matches_replicated():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(3)
+    mesh = make_mesh(8)
+
+    def check(ham, n, n_samp=64, active=None):
+        sw, la, ph, sv = _random_sorted_samples(rng, n, n_samp, active)
+        e_hash = PauliEngine(ham, membership="hash").local_energy_proxy(
+            sw, la, ph, sv
+        )
+        eng = PauliEngine(ham, membership="hash_dist", mesh=mesh)
+        with mesh:
+            e_dist = jax.jit(eng.local_energy_proxy)(sw, la, ph, sv)
+        np.testing.assert_array_equal(
+            np.asarray(e_hash.e_re), np.asarray(e_dist.e_re)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(e_hash.e_im), np.asarray(e_dist.e_im)
+        )
+        assert int(e_hash.found_pairs) == int(e_dist.found_pairs)
+        assert int(e_dist.table_overflow) == 0
+
+    mol = Molecule.create(
+        MolConfig(name="H2O"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+    check(mol.qubit_ham, mol.qubit_num)
+
+    # 40-qubit (2-word) embedding of a random 12-orbital problem: exercises
+    # the two-word key lanes and word-1 routing hashes.
+    from anqs_quantum_chemistry_tpu.chem.jw import (
+        jordan_wigner_pauli_hamiltonian,
+    )
+
+    h1 = np.zeros((40, 40))
+    sub = rng.standard_normal((12, 12))
+    h1[:12, :12] = sub + sub.T
+    v = np.zeros((40, 40, 40, 40))
+    s4 = rng.standard_normal((12,) * 4)
+    v[:12, :12, :12, :12] = s4 + s4.transpose(1, 0, 3, 2)
+    ham40 = jordan_wigner_pauli_hamiltonian(h1, v)
+    check(ham40, 40, active=list(range(12)) + [35, 36, 37])
+
+
+def test_vmc_step_hash_dist_mesh_agreement():
+    """Full sharded train step with the distributed table: 8-device CPU
+    mesh metrics == single-device (replicated hash) metrics."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
+    from anqs_quantum_chemistry_tpu.models.anqs import AnqsConfig
+
+    mol = Molecule.create(
+        MolConfig(name="H2O"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+
+    def run(mesh, membership):
+        overrides = {"membership": membership}
+        vmc = VMC(
+            mol,
+            VMCConfig(
+                sample_num=256,
+                sampling_mode="gumbel",
+                qubit_per_qudit=3,
+                lr=2e-3,
+                engine_overrides=overrides,
+            ),
+            AnqsConfig(hidden_widths=(32,)),
+            mesh=mesh,
+        )
+        params, opt_state, key = vmc.init_state()
+        if mesh is None:
+            out = vmc._step(params, opt_state, key)
+        else:
+            with mesh:
+                out = jax.jit(vmc._step_impl)(params, opt_state, key)
+        return {k: float(v) for k, v in out[3].items()}
+
+    m1 = run(None, "hash")
+    m8 = run(make_mesh(8), "hash_dist")
+    for k in m1:
+        a, b = m1[k], m8[k]
+        if np.isnan(a) and np.isnan(b):
+            continue
+        assert abs(a - b) <= 1e-5 + 1e-4 * abs(a), (k, a, b)
+    assert m1["found_pairs"] > 0
