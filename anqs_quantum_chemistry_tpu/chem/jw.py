@@ -282,12 +282,23 @@ def z_string_symmetries(ham: PauliHamiltonian) -> np.ndarray:
     Returns (G, qubit_num) 0/1 int8 rows, one per independent generator.
     """
     n = ham.qubit_num
-    rows = np.zeros((ham.a_masks.shape[0], n), dtype=np.int8)
+    rows = _unpack_bits(ham.a_masks, n)
+    return _gf2_nullspace(rows)
+
+
+def _unpack_bits(words: np.ndarray, n: int) -> np.ndarray:
+    """(R, W) uint32 packed rows -> (R, n) 0/1 int8 bit matrix."""
+    out = np.zeros((words.shape[0], n), dtype=np.int8)
     for j in range(n):
-        rows[:, j] = (
-            ham.a_masks[:, j // WORD_BITS] >> np.uint32(j % WORD_BITS)
+        out[:, j] = (
+            words[:, j // WORD_BITS] >> np.uint32(j % WORD_BITS)
         ) & np.uint32(1)
-    # GF(2) RREF of rows; nullspace basis from free columns.
+    return out
+
+
+def _gf2_nullspace(rows: np.ndarray) -> np.ndarray:
+    """Nullspace basis of a 0/1 matrix over GF(2): (G, C) int8 rows."""
+    n = rows.shape[1]
     m = rows.copy() % 2
     pivots = []
     r = 0
@@ -315,6 +326,36 @@ def z_string_symmetries(ham: PauliHamiltonian) -> np.ndarray:
                 g[pc] = 1
         basis.append(g)
     return np.array(basis, dtype=np.int8).reshape(len(basis), n)
+
+
+def symplectic_symmetries(ham: PauliHamiltonian):
+    """Full Pauli symmetry generators: GF(2) kernel of the symplectic form.
+
+    A Pauli string tau with x-vector x_g and z-vector z_g commutes with a
+    Hamiltonian term (a_m, b_m) iff a_m . z_g + b_m . x_g = 0 (mod 2), so
+    the generator set is the nullspace of the (T, 2n) binary matrix
+    [B | A] acting on (x_g; z_g). This is the symplectic-kernel tapering
+    of the reference (nqs/nqs/applications/quantum_chemistry/
+    molecule.py:209-234, via PennyLane's RREF/_kernel): unlike
+    ``z_string_symmetries`` (the x_g = 0 restriction, which is what feeds
+    the sampling masker here and in every reference experiment), it also
+    emits X/Y-bearing generators.
+
+    Returns (x_bits, z_bits): two (G, qubit_num) 0/1 int8 arrays. A
+    generator's qubit j carries I/X/Y/Z for (x, z) = (0,0)/(1,0)/(1,1)/
+    (0,1).
+    """
+    n = ham.qubit_num
+    group_id = np.repeat(
+        np.arange(ham.n_groups),
+        np.diff(ham.group_starts).astype(np.int64),
+    )
+    a_bits = _unpack_bits(ham.a_masks, n)[group_id]  # per-term A
+    b_bits = _unpack_bits(ham.b_words, n)
+    kernel = _gf2_nullspace(
+        np.concatenate([b_bits, a_bits], axis=1)
+    )
+    return kernel[:, :n], kernel[:, n:]
 
 
 def permute_qubits_hamiltonian(

@@ -115,6 +115,46 @@ def test_z_string_symmetries_commute(lih):
                 assert bin(d & g_int).count("1") % 2 == ref
 
 
+def test_symplectic_symmetries_commute(lih):
+    """Full symplectic-kernel generators (X/Y/Z-bearing Pauli strings)
+    commute with every Hamiltonian term; the Z-string generators are the
+    x=0 subset of the same kernel."""
+    from anqs_quantum_chemistry_tpu.chem.jw import symplectic_symmetries
+
+    ham = lih.qubit_ham
+    gx, gz = symplectic_symmetries(ham)
+    assert gx.shape == gz.shape and gx.shape[1] == ham.qubit_num
+    zg = z_string_symmetries(ham)
+    # The kernel contains at least the Z-strings (x=0 solutions).
+    assert gx.shape[0] >= zg.shape[0] >= 2
+
+    # Independent exact oracle: Pauli strings (x1,z1), (x2,z2) commute
+    # iff x1.z2 + z1.x2 = 0 mod 2, computed here with python-int popcounts
+    # over per-term masks.
+    a_ints = words_to_ints(ham.a_masks)
+    b_ints = words_to_ints(ham.b_words)
+    group_id = np.repeat(
+        np.arange(ham.n_groups), np.diff(ham.group_starts).astype(int)
+    )
+    term_a = [int(a_ints[g]) for g in group_id]
+    for k in range(gx.shape[0]):
+        x_int = sum(1 << i for i in range(ham.qubit_num) if gx[k, i])
+        z_int = sum(1 << i for i in range(ham.qubit_num) if gz[k, i])
+        assert x_int or z_int  # nonzero generator
+        for t in range(ham.n_terms):
+            sym = (
+                bin(term_a[t] & z_int).count("1")
+                + bin(int(b_ints[t]) & x_int).count("1")
+            ) % 2
+            assert sym == 0, (k, t)
+    # Every Z-string solves the full kernel condition too (sanity link
+    # between the two finders).
+    for g in zg:
+        z_int = sum(1 << i for i in range(len(g)) if g[i])
+        for t in range(ham.n_terms):
+            assert bin(term_a[t] & z_int).count("1") % 2 == 0
+
+
 def test_nuclear_repulsion():
     atoms = [("H", (0.0, 0.0, 0.0)), ("H", (0.0, 0.0, 2.0))]
     assert abs(nuclear_repulsion(atoms) - 0.5) < 1e-12
