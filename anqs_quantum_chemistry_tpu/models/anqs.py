@@ -36,7 +36,12 @@ class AnqsConfig:
     net_type: str = "made"  # 'made' | 'nade' | 'transformer'
     hidden_widths: Tuple[int, ...] = (512,)
     aux_hidden_widths: Tuple[int, ...] = (512,)
-    activation: str = "tanh"
+    # Per-layer patterns (reference PatternConfig family, mlp.py:13-70):
+    # ``activation`` accepts one name (uniform), a per-hidden-layer tuple,
+    # or the 'sanqs_paper' preset (tanh then leaky_relu); ``bias`` accepts
+    # a bool or a depth+1 tuple (hidden layers + output layer).
+    activation: object = "tanh"
+    bias: object = True
     residual: bool = True
     subtract_mean: bool = True
     compute_dtype: str = "float32"
@@ -154,6 +159,7 @@ class ANQS:
 
             nade_kwargs = dict(
                 activation=self.config.activation,
+                bias=self.config.bias,
                 residual=self.config.residual,
                 **base_kwargs,
             )
@@ -175,6 +181,7 @@ class ANQS:
         elif self.config.net_type == "made":
             mlp_kwargs = dict(
                 activation=self.config.activation,
+                bias=self.config.bias,
                 residual=self.config.residual,
                 **base_kwargs,
             )

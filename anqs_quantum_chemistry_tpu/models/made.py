@@ -30,7 +30,13 @@ class MadeSpec:
     max_qudit_dim: int  # D: outputs per qudit (2**max width)
     hidden_widths: Tuple[int, ...] = (512,)
     n_channels: int = 1  # output channels (e.g. 2 for complex log-psi)
-    activation: str = "tanh"
+    # Per-layer patterns (reference PatternConfig family, mlp.py:13-70):
+    # a plain value is the uniform pattern; a tuple gives one entry per
+    # hidden layer (bias: per layer incl. the output layer, so depth+1);
+    # activation='sanqs_paper' is the reference's non-uniform preset
+    # (tanh, then leaky_relu on the remaining layers).
+    activation: object = "tanh"  # str | Tuple[str, ...]
+    bias: object = True  # bool | Tuple[bool, ...]
     residual: bool = True
     compute_dtype: str = "float32"
 
@@ -77,9 +83,36 @@ def made_masks(spec: MadeSpec):
     return masks
 
 
+def activation_pattern(activation, depth: int) -> Tuple[str, ...]:
+    """Resolve a uniform / per-layer / preset activation pattern.
+
+    The reference expresses this as ActivationConfig(PatternConfig)
+    (mlp.py:49-70): 'uniform' repeats one activation, 'sanqs_paper' is
+    (Tanh, LeakyReLU, LeakyReLU, ...).
+    """
+    if activation == "sanqs_paper":
+        return ("tanh",) + ("leaky_relu",) * max(depth - 1, 0)
+    if isinstance(activation, str):
+        return (activation,) * depth
+    pattern = tuple(activation)
+    assert len(pattern) == depth, (pattern, depth)
+    return pattern
+
+
+def bias_pattern(bias, depth_plus_1: int) -> Tuple[bool, ...]:
+    """Per-layer bias on/off (reference BiasConfig, mlp.py:26-35;
+    resolved at depth+1 -- hidden layers plus the output layer)."""
+    if isinstance(bias, bool):
+        return (bias,) * depth_plus_1
+    pattern = tuple(bool(b) for b in bias)
+    assert len(pattern) == depth_plus_1, (pattern, depth_plus_1)
+    return pattern
+
+
 def made_init(spec: MadeSpec, key) -> Dict:
-    """Glorot-initialized parameters; biases zero."""
+    """Glorot-initialized parameters; biases zero (where enabled)."""
     dims = [spec.qubit_num, *spec.hidden_widths, spec.out_dim]
+    use_bias = bias_pattern(spec.bias, len(dims) - 1)
     params = {}
     for i in range(len(dims) - 1):
         key, sub = jax.random.split(key)
@@ -87,7 +120,8 @@ def made_init(spec: MadeSpec, key) -> Dict:
         params[f"w{i}"] = scale * jax.random.normal(
             sub, (dims[i], dims[i + 1]), dtype=jnp.float32
         )
-        params[f"b{i}"] = jnp.zeros((dims[i + 1],), dtype=jnp.float32)
+        if use_bias[i]:
+            params[f"b{i}"] = jnp.zeros((dims[i + 1],), dtype=jnp.float32)
     return params
 
 
@@ -107,26 +141,24 @@ def made_apply(spec: MadeSpec, params: Dict, bits) -> jnp.ndarray:
     "unseen suffix" encoding irrelevant for the autoregressive outputs).
     """
     masks = made_masks(spec)
-    act = _ACTIVATIONS[spec.activation]
+    n_layers = len(spec.hidden_widths)
+    acts = activation_pattern(spec.activation, n_layers)
     cdt = jnp.dtype(spec.compute_dtype)
 
     h = (1.0 - 2.0 * bits.astype(jnp.float32)).astype(cdt)
-    n_layers = len(spec.hidden_widths)
     for i in range(n_layers):
         w_eff = (params[f"w{i}"] * masks[i]).astype(cdt)
-        z = (
-            jnp.dot(h, w_eff, preferred_element_type=jnp.float32)
-            + params[f"b{i}"]
-        )
-        z = act(z)
+        z = jnp.dot(h, w_eff, preferred_element_type=jnp.float32)
+        if f"b{i}" in params:
+            z = z + params[f"b{i}"]
+        z = _ACTIVATIONS[acts[i]](z)
         if spec.residual and i > 0 and z.shape == h.shape:
             z = z + h
         h = z.astype(cdt)
     w_eff = (params[f"w{n_layers}"] * masks[n_layers]).astype(cdt)
-    out = (
-        jnp.dot(h, w_eff, preferred_element_type=jnp.float32)
-        + params[f"b{n_layers}"]
-    )
+    out = jnp.dot(h, w_eff, preferred_element_type=jnp.float32)
+    if f"b{n_layers}" in params:
+        out = out + params[f"b{n_layers}"]
     return out.reshape(
         *bits.shape[:-1],
         spec.qudit_num,

@@ -96,3 +96,32 @@ def test_unphysical_amplitude_is_zero():
     re, im = anqs.amplitude(params, bitops.pack(jnp.asarray(bad)))
     assert np.abs(np.asarray(re)).max() < 1e-20
     assert np.abs(np.asarray(im)).max() < 1e-20
+
+
+def test_per_layer_patterns():
+    """Reference PatternConfig parity: per-layer activation tuples, the
+    'sanqs_paper' preset (tanh then leaky_relu), and per-layer bias on/off
+    all yield normalized states; disabled biases are absent from params."""
+    n = 8
+    x = all_states(n)
+    words = bitops.pack(jnp.asarray(x))
+    for net_type in ("made", "nade"):
+        for cfg in (
+            dict(activation="sanqs_paper", hidden_widths=(32, 32)),
+            dict(activation=("relu", "tanh"), hidden_widths=(32, 32)),
+            dict(bias=(True, False, True), hidden_widths=(32, 32)),
+        ):
+            # Explicit per-layer tuples apply to the aux net too, so its
+            # depth must match.
+            masker, anqs, params = build(
+                n, net_type=net_type, aux_hidden_widths=(32, 32), **cfg
+            )
+            la, _ = anqs.log_psi(params, words)
+            probs = np.exp(2 * np.asarray(la, dtype=np.float64))
+            phys = masker.is_physical(x)
+            np.testing.assert_allclose(probs[phys].sum(), 1.0, rtol=5e-4)
+            if "bias" in cfg:
+                leaves = jax.tree_util.tree_leaves_with_path(params)
+                names = [jax.tree_util.keystr(p) for p, _ in leaves]
+                assert not any("b1" in s for s in names), names
+                assert any("b0" in s for s in names)
