@@ -122,3 +122,46 @@ def test_vmc_step_hash_dist_mesh_agreement():
             continue
         assert abs(a - b) <= 1e-5 + 1e-4 * abs(a), (k, a, b)
     assert m1["found_pairs"] > 0
+
+
+def test_hash_dist_overflow_graceful():
+    """With a deliberately tiny routing capacity, overflowing queries are
+    counted and degrade to misses -- never to wrong answers: found(dist)
+    is a subset of found(replicated) and values agree where found."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from anqs_quantum_chemistry_tpu.parallel.dist_membership import (
+        hash_membership_dist,
+    )
+
+    rng = np.random.default_rng(7)
+    mesh = make_mesh(8)
+    mol = Molecule.create(
+        MolConfig(name="H2O"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+    ham = mol.qubit_ham
+    sw, la, ph, sv = _random_sorted_samples(rng, mol.qubit_num, 64)
+
+    eng = PauliEngine(ham, membership="hash")
+    tab, nb, _ = eng._hash_build(sw, la, ph, sv)
+    xp = sw[:, 0][:, None] ^ eng.a_words[:, 0][None, :]
+    la_ref, ph_ref = eng._hash_query(
+        tab, nb, xp.reshape(-1), jnp.zeros_like(xp.reshape(-1))
+    )
+    la_ref = np.asarray(la_ref).reshape(xp.shape)
+    ph_ref = np.asarray(ph_ref).reshape(xp.shape)
+
+    with mesh:
+        la_d, ph_d, overflow = hash_membership_dist(
+            mesh, "data", sw, la, ph, sv, eng.a_words,
+            query_slack=0.05,
+        )
+    la_d = np.asarray(la_d)
+    ph_d = np.asarray(ph_d)
+    assert int(overflow) > 0
+    found_d = la_d > -5e29
+    found_r = la_ref > -5e29
+    assert (found_d <= found_r).all()  # no false positives
+    np.testing.assert_array_equal(la_d[found_d], la_ref[found_d])
+    np.testing.assert_array_equal(ph_d[found_d], ph_ref[found_d])
