@@ -36,7 +36,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-NEG = jnp.float32(-1e30)
+# Plain python constant: a module-level jnp array would be created under
+# whatever trace is active at first (lazy) import and leak that trace's
+# tracer into every later call.
+NEG = -1e30
 
 
 def _rank_in_group(group: jnp.ndarray) -> jnp.ndarray:
@@ -82,6 +85,7 @@ def hash_membership_dist(
     from ..observables.pauli import PauliEngine
 
     mix2 = PauliEngine._mix2
+    neg = jnp.float32(NEG)
 
     d = mesh.shape[axis]
     b, w = words.shape
@@ -121,8 +125,8 @@ def hash_membership_dist(
         buf_hi = jnp.zeros((d * cap_e,), jnp.uint32).at[slot].set(
             w_hi, mode="drop"
         )
-        buf_la = jnp.full((d * cap_e,), NEG).at[slot].set(
-            jnp.where(valid_s, log_abs_s, NEG), mode="drop"
+        buf_la = jnp.full((d * cap_e,), neg).at[slot].set(
+            jnp.where(valid_s, log_abs_s, neg), mode="drop"
         )
         buf_ph = jnp.zeros((d * cap_e,), jnp.float32).at[slot].set(
             phase_s, mode="drop"
@@ -137,7 +141,7 @@ def hash_membership_dist(
         )
 
         # Owner-side build of the local (nb_local, 128) planar shard.
-        r_valid = r_la > 0.5 * NEG
+        r_valid = r_la > 0.5 * neg
         r_bucket = (mix2(r_lo, r_hi) & jnp.uint32(nb_total - 1)).astype(
             jnp.int32
         )
@@ -145,7 +149,7 @@ def hash_membership_dist(
         rank2 = _rank_in_group(loc)
         ovf_b = r_valid & (rank2 >= epb)
         row_i = jnp.where(r_valid & ~ovf_b, loc, nb_local)
-        tab = jnp.full((nb_local, 128), NEG, dtype=jnp.float32)
+        tab = jnp.full((nb_local, 128), neg, dtype=jnp.float32)
         tab = tab.at[row_i, rank2].set(
             jax.lax.bitcast_convert_type(r_lo, jnp.float32), mode="drop"
         )
@@ -153,7 +157,7 @@ def hash_membership_dist(
             jax.lax.bitcast_convert_type(r_hi, jnp.float32), mode="drop"
         )
         tab = tab.at[row_i, rank2 + 64].set(
-            jnp.where(r_valid, r_la, NEG), mode="drop"
+            jnp.where(r_valid, r_la, neg), mode="drop"
         )
         tab = tab.at[row_i, rank2 + 96].set(r_ph, mode="drop")
 
@@ -195,13 +199,13 @@ def hash_membership_dist(
             match = (
                 (keys_lo == q_lo_[..., None])
                 & (keys_hi == q_hi_[..., None])
-                & (la_e > 0.5 * NEG)
+                & (la_e > 0.5 * neg)
             )
             la = jnp.sum(jnp.where(match, la_e, 0.0), axis=-1)
             ph = jnp.sum(
                 jnp.where(match, rows_g[..., 96:128], 0.0), axis=-1
             )
-            return jnp.where(jnp.any(match, axis=-1), la, NEG), ph
+            return jnp.where(jnp.any(match, axis=-1), la, neg), ph
 
         if lookup_chunk is not None and d * cap_q > lookup_chunk:
             n_q = d * cap_q
@@ -218,7 +222,7 @@ def hash_membership_dist(
         # Route answers back; they land in the sender's slot layout.
         back_la, back_ph = a2a(ans_la), a2a(ans_ph)
         safe_slot = jnp.clip(slot_q, 0, d * cap_q - 1)
-        la_p = jnp.where(ovf_q, NEG, back_la[safe_slot])
+        la_p = jnp.where(ovf_q, neg, back_la[safe_slot])
         ph_p = jnp.where(ovf_q, 0.0, back_ph[safe_slot])
 
         overflow = jax.lax.psum(
