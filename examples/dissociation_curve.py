@@ -44,7 +44,8 @@ def main():
     summary = "runs/n2_dissociation.csv"
     if not os.path.exists(summary):
         with open(summary, "w") as f:
-            f.write("# r_angstrom,hf,cisd,fci,vmc\n")
+            # No '#' prefix: np.genfromtxt(names=True) must read this row.
+            f.write("r_angstrom,hf,cisd,fci,vmc\n")
 
     for r in lengths:
         t0 = time.perf_counter()
