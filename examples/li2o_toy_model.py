@@ -47,7 +47,12 @@ def main():
             sample_num=sample_num,
             sampling_mode="gumbel",
             qubit_per_qudit=6,
-            lr=1e-3,
+            # The winning Li2O recipe (see runs/li2o config.json): warm
+            # 3e-3 decaying to 3e-4 + global-norm clip; a flat 1e-3 with
+            # no clip plateaus ~120 mHa above HF.
+            lr=3e-3,
+            lr_schedule=((0, 3e-3), (1200, 1e-3), (2400, 3e-4)),
+            grad_clip_norm=1.0,
             sr=SRConfig(max_indices_num=50),
             seed=0,
         ),
