@@ -62,6 +62,13 @@ class AnqsConfig:
     # on the non-canonical member of each {x, flip x} orbit.
     spin_flip_abs: bool = False
     spin_flip_phase: bool = False
+    # Soft cap on raw per-continuation log-abs conditionals:
+    # la -> cap * tanh(la / cap). Bounds the per-qudit conditional
+    # contrast to ~2*cap nats, which keeps Born weights representable and
+    # gradients alive on peaked >50-qubit wavefunctions (without it the
+    # log-amplitude contrast can run away until freq-weighted gradients
+    # underflow f32 to exactly zero and training freezes).
+    logit_cap: object = None  # None | float
     # transformer hyperparameters (net_type='transformer'):
     d_model: int = 64
     n_heads: int = 4
@@ -340,6 +347,9 @@ class ANQS:
             )
             la_f = self._net_apply(self.main_spec, params["main"], xf)[..., 0]
             la = 0.5 * (la + jnp.take(la_f, self.sf_cont_idx, axis=-1))
+        cap = self.config.logit_cap
+        if cap:
+            la = cap * jnp.tanh(la / cap)
         return la
 
     def _phase_raw(self, params, words):

@@ -10,8 +10,16 @@ Baselines (this repo's standalone chem stack):
   HF -78.003574  MP2 -78.186426  CISD -78.197997  CCSD -78.213678
   CCSD(T) -78.219007
 
-Usage: python examples/c2h4_transformer.py [iters] [sample_num]
-Writes runs/c2h4/result.csv.
+Usage: python examples/c2h4_transformer.py [iters] [sample_num] [net]
+``net``: 'transformer' (default) or 'made'. Writes runs/c2h4_<net>/.
+
+Collapse guard: at 52 qubits the Born-weighted gradient dies if the
+log-amplitude contrast runs away (once freq_x = |psi_x|^2/Z underflows
+f32, grad_norm hits exact zero and training freezes -- observed with the
+untuned transformer at lr 1e-3 + SR: contrast -126 nats by iter 100).
+The transformer config therefore uses the logit soft-cap
+(AnqsConfig.logit_cap) plus a gentle lr; the MADE config uses the proven
+Li2O-style schedule.
 """
 
 import os
@@ -31,6 +39,7 @@ from anqs_quantum_chemistry_tpu.optim.sr import SRConfig
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     sample_num = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    net = sys.argv[3] if len(sys.argv) > 3 else "transformer"
 
     mol = Molecule.create(
         MolConfig(name="C2H4", basis="6-31g"), mols_dir="mols",
@@ -44,6 +53,13 @@ def main():
         flush=True,
     )
 
+    if net == "made":
+        anqs_config = AnqsConfig(hidden_widths=(512,))
+    else:
+        anqs_config = AnqsConfig(
+            net_type="transformer", d_model=128, n_layers=3, n_heads=4,
+            d_ff=512, logit_cap=4.0,
+        )
     vmc = VMC(
         mol,
         VMCConfig(
@@ -52,15 +68,12 @@ def main():
             qubit_per_qudit=4,
             lr=1e-3,
             lr_schedule=((0, 1e-3), (1500, 3e-4)),
-            grad_clip_norm=1.0,
+            grad_clip_norm=0.5,
             sr=SRConfig(max_indices_num=50),
             seed=0,
         ),
-        AnqsConfig(
-            net_type="transformer", d_model=128, n_layers=3, n_heads=4,
-            d_ff=512,
-        ),
-        run_dir="runs/c2h4",
+        anqs_config,
+        run_dir=f"runs/c2h4_{net}",
     )
 
     t0 = time.perf_counter()

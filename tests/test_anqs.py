@@ -125,3 +125,24 @@ def test_per_layer_patterns():
                 names = [jax.tree_util.keystr(p) for p, _ in leaves]
                 assert not any("b1" in s for s in names), names
                 assert any("b0" in s for s in names)
+
+
+def test_logit_cap_bounds_contrast():
+    """logit_cap soft-caps raw conditionals: normalization still exact,
+    and the total log-amplitude contrast is bounded by qudit_num * 2*cap
+    (the collapse guard for peaked >50q wavefunctions)."""
+    n = 8
+    cap = 2.0
+    masker, anqs, params = build(n, logit_cap=cap)
+    x = all_states(n)
+    words = bitops.pack(jnp.asarray(x))
+    la, _ = anqs.log_psi(params, words)
+    la = np.asarray(la, dtype=np.float64)
+    probs = np.exp(2 * la)
+    phys = masker.is_physical(x)
+    np.testing.assert_allclose(probs[phys].sum(), 1.0, rtol=5e-4)
+    contrast = la[phys].max() - la[phys].min()
+    # Per qudit the capped conditional spread is <= 2*cap, plus the
+    # masked log-softmax normalizer (<= log D per qudit).
+    q, d = anqs.qudit_num, anqs.max_dim
+    assert contrast <= q * (2 * cap + np.log(d)) + 1e-6
