@@ -69,6 +69,17 @@ class VMCConfig(Config):
     full_energy_period: Optional[int] = None
     use_theor_freqs: bool = True  # Born |psi|^2 reweighting vs counts
     couple_spin_flip: bool = False  # close sample set under alpha<->beta
+    # Seed every iteration's unique set with the K Hamiltonian-connected
+    # neighbors of the reference (HF) determinant with the largest
+    # |<HF ^ A_m|H|HF>| (appended with zero sample-weight; Born theor
+    # freqs give them their |psi|^2 weight). The TPU counterpart of the
+    # reference's 'ham' candidate coupling (SURVEY.md section 2,
+    # pauli_observable.py coupling modes): in a >~40-qubit space a
+    # few-thousand-state sample has essentially no Hamiltonian-connected
+    # pairs, so the sample-aware E_loc degenerates to the diagonal and the
+    # energy freezes at HF -- the pinned neighborhood restores the
+    # pull-up gradient on the excitation amplitudes.
+    couple_ref_dets: int = 0
     seed: int = 0
     iter_num: int = 500
     # Iteration-keyed config schedules (reference EnergyOptExpConfig
@@ -178,6 +189,20 @@ class VMC:
         ref = ref_det if ref_det is not None else 0
         hf_bits = np.array([[(ref >> i) & 1 for i in range(n)]])
         self.hf_words = bitops.pack(jnp.asarray(hf_bits))
+
+        # Pinned HF neighborhood (couple_ref_dets): the K connected
+        # determinants HF ^ A_m with the largest |<HF ^ A_m|H|HF>|,
+        # computed once from one matrix-element row.
+        self.ref_neighbor_words = None
+        if self.config.couple_ref_dets:
+            me_row = np.asarray(
+                self.engine.matrix_elements(self.hf_words)
+            )[0]  # (M,)
+            k = min(int(self.config.couple_ref_dets), me_row.shape[0])
+            top = np.argsort(-np.abs(me_row))[:k]
+            self.ref_neighbor_words = (
+                self.hf_words ^ self.engine.a_words[top]
+            )
 
         # Exact-summation support: enumerate + sort the whole sector once.
         self.exact_words = None
@@ -504,6 +529,18 @@ class VMC:
             weights = jnp.concatenate([weights, jnp.zeros_like(weights)])
             valid = jnp.concatenate([valid, valid])
 
+        if cfg.couple_ref_dets and self.ref_neighbor_words is not None:
+            # Pin the HF Hamiltonian neighborhood into the unique set
+            # (zero sample-weight; Born theor freqs supply |psi|^2).
+            nb = self.ref_neighbor_words
+            words = jnp.concatenate([words, nb])
+            weights = jnp.concatenate(
+                [weights, jnp.zeros(nb.shape[0], weights.dtype)]
+            )
+            valid = jnp.concatenate(
+                [valid, jnp.ones(nb.shape[0], dtype=bool)]
+            )
+
         # Canonical sort with all-ones sentinels on invalid rows so
         # membership lookups can never match them.
         sentinel = jnp.full_like(words, bitops.UINT(0xFFFFFFFF))
@@ -512,7 +549,7 @@ class VMC:
             words, weights, valid.astype(jnp.int32)
         )
         valid = valid_i.astype(bool)
-        if cfg.couple_spin_flip:
+        if cfg.couple_spin_flip or cfg.couple_ref_dets:
             valid = valid & keys.unique_mask(sorted_words)
 
         # Data-parallel sharding of the unique-determinant batch: amplitude

@@ -70,6 +70,11 @@ def main():
             lr_schedule=((0, 1e-3), (1500, 3e-4)),
             grad_clip_norm=0.5,
             sr=SRConfig(max_indices_num=50),
+            # At 52 qubits a 4096-state sample has no H-connected pairs
+            # (found_pairs == B, E frozen at HF); pin the top-2048
+            # |<HF^A|H|HF>| neighbors so the excitation amplitudes get
+            # their pull-up gradient.
+            couple_ref_dets=2048,
             seed=0,
         ),
         anqs_config,
