@@ -55,20 +55,28 @@ def main():
 
     if net == "made":
         anqs_config = AnqsConfig(hidden_widths=(512,))
+        lr_schedule = ((0, 1e-3), (1500, 3e-4))
+        clip = 0.5
     else:
         anqs_config = AnqsConfig(
             net_type="transformer", d_model=128, n_layers=3, n_heads=4,
             d_ff=512, logit_cap=4.0,
         )
+        # Warmup: the transformer's un-warmed descent overshoots into
+        # ~-86-nat contrast before the neighborhood pull-up can organize
+        # the excitation amplitudes; MADE escapes because it lingers in
+        # the moderate-contrast zone. Slow the approach to the peak.
+        lr_schedule = ((0, 3e-5), (400, 1e-4), (1500, 3e-4))
+        clip = 0.25
     vmc = VMC(
         mol,
         VMCConfig(
             sample_num=sample_num,
             sampling_mode="gumbel",
             qubit_per_qudit=4,
-            lr=1e-3,
-            lr_schedule=((0, 1e-3), (1500, 3e-4)),
-            grad_clip_norm=0.5,
+            lr=lr_schedule[0][1],
+            lr_schedule=lr_schedule,
+            grad_clip_norm=clip,
             sr=SRConfig(max_indices_num=50),
             # At 52 qubits a 4096-state sample has no H-connected pairs
             # (found_pairs == B, E frozen at HF); pin the top-2048
