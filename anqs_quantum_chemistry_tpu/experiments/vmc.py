@@ -80,6 +80,11 @@ class VMCConfig(Config):
     # energy freezes at HF -- the pinned neighborhood restores the
     # pull-up gradient on the excitation amplitudes.
     couple_ref_dets: int = 0
+    # Exact-summation mode only: resolve membership ONCE at init (the
+    # sector is fixed) via a host-side searchsorted -- the step then skips
+    # the canonical sort and the per-iteration table build/lookup
+    # entirely (engine.local_energy_static).
+    exact_static_membership: bool = True
     seed: int = 0
     iter_num: int = 500
     # Iteration-keyed config schedules (reference EnergyOptExpConfig
@@ -206,6 +211,8 @@ class VMC:
 
         # Exact-summation support: enumerate + sort the whole sector once.
         self.exact_words = None
+        self.exact_partner_idx = None
+        self.exact_partner_found = None
         if self.config.sampling_mode == "exact":
             if mol is None:
                 raise ValueError(
@@ -237,6 +244,30 @@ class VMC:
             ).astype(np.int64)
             self.exact_words = bitops.pack(jnp.asarray(bits))
 
+            # Static membership: the sector is fixed, so partner indices
+            # for every (det, group) pair are one host-side searchsorted
+            # at init (engine.local_energy_static) instead of a
+            # per-iteration table build + lookup. Disabled when the
+            # unique set is augmented per-iteration (spin-flip/ref-det
+            # coupling never fires in exact mode anyway: the sector is
+            # already closed under both).
+            if (
+                self.config.exact_static_membership
+                and n <= 64
+                and not self.config.couple_spin_flip
+                and not self.config.couple_ref_dets
+            ):
+                a_np = np.asarray(self.engine.a_words).astype(np.uint64)
+                a_ints = a_np[:, 0]
+                if a_np.shape[1] > 1:
+                    a_ints = a_ints | (a_np[:, 1] << np.uint64(32))
+                partner = dets[:, None] ^ a_ints[None, :]
+                idx = np.searchsorted(dets, partner)
+                idxc = np.clip(idx, 0, len(dets) - 1).astype(np.int32)
+                pf = dets[idxc] == partner
+                self.exact_partner_idx = jnp.asarray(idxc)
+                self.exact_partner_found = jnp.asarray(pf)
+
     # ------------------------------------------------------------------
     # Device-constant threading
     # ------------------------------------------------------------------
@@ -266,6 +297,9 @@ class VMC:
             targets.append((self.anqs, "sign_structure"))
         if getattr(self, "exact_words", None) is not None:
             targets.append((self, "exact_words"))
+        if getattr(self, "exact_partner_idx", None) is not None:
+            targets.append((self, "exact_partner_idx"))
+            targets.append((self, "exact_partner_found"))
         if hasattr(self.anqs, "sf_cont_idx"):
             targets.append((self.anqs, "sf_cont_idx"))
         return targets
@@ -541,16 +575,25 @@ class VMC:
                 [valid, jnp.ones(nb.shape[0], dtype=bool)]
             )
 
-        # Canonical sort with all-ones sentinels on invalid rows so
-        # membership lookups can never match them.
-        sentinel = jnp.full_like(words, bitops.UINT(0xFFFFFFFF))
-        words = jnp.where(valid[:, None], words, sentinel)
-        sorted_words, _, weights, valid_i = keys.sort_words(
-            words, weights, valid.astype(jnp.int32)
+        use_static = (
+            sampling_config.mode == "exact"
+            and self.exact_partner_idx is not None
         )
-        valid = valid_i.astype(bool)
-        if cfg.couple_spin_flip or cfg.couple_ref_dets:
-            valid = valid & keys.unique_mask(sorted_words)
+        if use_static:
+            # Pre-sorted fixed sector, all rows valid: no sort, and
+            # membership was resolved at init.
+            sorted_words = words
+        else:
+            # Canonical sort with all-ones sentinels on invalid rows so
+            # membership lookups can never match them.
+            sentinel = jnp.full_like(words, bitops.UINT(0xFFFFFFFF))
+            words = jnp.where(valid[:, None], words, sentinel)
+            sorted_words, _, weights, valid_i = keys.sort_words(
+                words, weights, valid.astype(jnp.int32)
+            )
+            valid = valid_i.astype(bool)
+            if cfg.couple_spin_flip or cfg.couple_ref_dets:
+                valid = valid & keys.unique_mask(sorted_words)
 
         # Data-parallel sharding of the unique-determinant batch: amplitude
         # evaluation, matrix elements and estimator reductions run sharded
@@ -562,7 +605,13 @@ class VMC:
         )
 
         la, ph = self.anqs.log_psi(params, sorted_words)
-        e = self.engine.local_energy_proxy(sorted_words, la, ph, valid)
+        if use_static:
+            e = self.engine.local_energy_static(
+                sorted_words, la, ph, valid,
+                self.exact_partner_idx, self.exact_partner_found,
+            )
+        else:
+            e = self.engine.local_energy_proxy(sorted_words, la, ph, valid)
 
         # Born reweighting over unique samples (use_theor_freqs default:
         # reference compute_local_energies.py:107-113); empirical counts

@@ -2,13 +2,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Workload: N2/STO-3G (20 qubits, 536 unique flip-mask groups), 16384-unique
-Gumbel top-k sampling per iteration -- the (N_alpha, N_beta) sector holds
-14400 determinants, so every physical determinant is sampled and the energy
-is the exact Rayleigh quotient. The full jitted VMC step (sampling +
-amplitudes + sample-aware local energies + gradient + SR top-50 + Adam) runs
-in 25-step lax.scan windows; this is the same compiled program
-examples/n2_convergence.py trains with.
+Workload: N2/STO-3G (20 qubits, 536 unique flip-mask groups),
+exact-summation over the full 14400-determinant (N_alpha, N_beta) sector
+with init-time static membership -- the flagship recipe that produced the
+dissociation-curve artifact (runs/n2_dissociation.csv: every point within
+~chemical accuracy of FCI), with the identical ansatz/optimizer
+(qpq=10 MADE-512, SR top-50, Adam + clip) as the Gumbel north-star run
+of examples/n2_convergence.py. The full jitted VMC step (amplitudes +
+local energies over every connected pair + gradient + SR top-50 + Adam)
+runs in 25-step lax.scan windows.
 
 Two throughput rates are reported (the round-1 bench conflated them --
 VERDICT.md "what's weak" #1):
@@ -48,8 +50,7 @@ def build_vmc():
     vmc = VMC(
         mol,
         VMCConfig(
-            sample_num=16384,
-            sampling_mode="gumbel",
+            sampling_mode="exact",
             qubit_per_qudit=10,
             lr=1e-3,
             grad_clip_norm=1.0,
@@ -66,7 +67,7 @@ def main():
     import numpy as np
 
     mol, vmc = build_vmc()
-    sample_num = vmc.config.sample_num
+    sector = int(vmc.exact_words.shape[0])
     params, opt_state, key = vmc.init_state()
 
     steps = 25
@@ -80,7 +81,7 @@ def main():
     elapsed = time.perf_counter() - t0
 
     found = float(np.asarray(out[3]["found_pairs"]).sum())
-    candidates = sample_num * mol.qubit_ham.n_groups * steps
+    candidates = sector * mol.qubit_ham.n_groups * steps
     found_rate = found / elapsed
     cand_rate = candidates / elapsed
 
@@ -89,8 +90,8 @@ def main():
         json.dumps(
             {
                 "metric": "connected-det local-energy evals/sec/chip "
-                "(N2 STO-3G, 16384 samples = full sector, full VMC "
-                "step incl. SR, 25-step scan)",
+                "(N2 STO-3G, exact summation over the full 14400-det "
+                "sector, full VMC step incl. SR, 25-step scan)",
                 "value": round(found_rate, 1),
                 "unit": "found-pairs/sec",
                 "vs_baseline": round(found_rate / baseline, 3),

@@ -59,3 +59,24 @@ def test_ref_neighbors_noop_under_exact_summation():
                       AnqsConfig(hidden_widths=(16,))))
     for k in ("energy", "energy_var", "found_pairs", "unique_num"):
         np.testing.assert_allclose(m0[k], m1[k], rtol=1e-6, err_msg=k)
+
+
+def test_exact_static_membership_matches_dynamic():
+    """Exact-summation step with init-time membership == the dynamic
+    (sort + table lookup) step on the same state."""
+    mol = Molecule.create(
+        MolConfig(name="LiH"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+    base = dict(sampling_mode="exact", qubit_per_qudit=3, lr=1e-3, seed=0)
+    m_dyn = _metrics(
+        VMC(mol, VMCConfig(exact_static_membership=False, **base),
+            AnqsConfig(hidden_widths=(16,)))
+    )
+    vmc = VMC(mol, VMCConfig(**base), AnqsConfig(hidden_widths=(16,)))
+    assert vmc.exact_partner_idx is not None
+    m_st = _metrics(vmc)
+    for k in ("energy", "energy_var", "found_pairs", "unique_num",
+              "grad_norm", "ipr"):
+        np.testing.assert_allclose(m_dyn[k], m_st[k], rtol=1e-6,
+                                   err_msg=k)
