@@ -408,9 +408,42 @@ class PauliEngine:
         specialization of its sample-aware proxy E_loc)."""
         me = self.matrix_elements(words)
         neg = jnp.float32(-1e30)
-        la_p = jnp.where(partner_found, log_abs[partner_idx], neg)
-        ph_p = phase[partner_idx]
-        found = partner_found & valid[:, None]
+
+        # Interleaved-pair rows (same layout as the direct-address table,
+        # but keyed by the precomputed dense index -- no hash, no key
+        # compare): ONE 128-lane row gather fetches both (log|psi|,
+        # phase) of a partner, at the ~2.4 ns/query row-gather cost
+        # instead of two flat element gathers.
+        b = log_abs.shape[0]
+        n_rows = -(-b // 64)
+        lane = jnp.arange(128, dtype=jnp.int32)
+        tab = jnp.broadcast_to(
+            jnp.where(lane % 2 == 0, neg, 0.0).astype(jnp.float32),
+            (n_rows, 128),
+        )
+        i = jnp.arange(b, dtype=jnp.int32)
+        col = (i & 63) * 2
+        tab = tab.at[i >> 6, col].set(
+            jnp.where(valid, log_abs, neg)
+        )
+        tab = tab.at[i >> 6, col + 1].set(phase)
+
+        def lookup(q):
+            rows_g = tab[q >> 6]
+            qc = (q & 63) * 2
+            sel_la = jax.nn.one_hot(qc, 128, dtype=jnp.float32)
+            sel_ph = jax.nn.one_hot(qc + 1, 128, dtype=jnp.float32)
+            return (
+                jnp.sum(rows_g * sel_la, axis=-1),
+                jnp.sum(rows_g * sel_ph, axis=-1),
+            )
+
+        la_p, ph_p = self._chunked_queries(
+            lookup, (partner_idx.reshape(-1),)
+        )
+        la_p = la_p.reshape(partner_idx.shape)
+        ph_p = ph_p.reshape(partner_idx.shape)
+        found = partner_found & (la_p > 0.5 * neg) & valid[:, None]
         return self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
 
     def _proxy_via_table(self, words, log_abs, phase, valid):
