@@ -772,23 +772,32 @@ class VMC:
 
         res = {}
 
-        def body_sample(c, i):
-            k, acc = c
-            k, sub = jax.random.split(k)
-            words, weights, valid, _ = sample(anqs, params, sub, cfgsamp)
-            return k, acc + jnp.sum(words[:, 0]).astype(jnp.float32)
+        if cfgsamp.mode == "exact":
+            # No sampler stage: the pre-enumerated sorted sector is the
+            # batch every iteration.
+            sw = self.exact_words
+            sv = jnp.ones(sw.shape[0], dtype=bool)
+            weights = jnp.ones(sw.shape[0], jnp.float32)
+        else:
+            def body_sample(c, i):
+                k, acc = c
+                k, sub = jax.random.split(k)
+                words, weights, valid, _ = sample(
+                    anqs, params, sub, cfgsamp
+                )
+                return k, acc + jnp.sum(words[:, 0]).astype(jnp.float32)
 
-        res["sample_ms"] = timed(body_sample, (key, jnp.float32(0)))
+            res["sample_ms"] = timed(body_sample, (key, jnp.float32(0)))
 
-        words, weights, valid, _ = sample(
-            anqs, params, jax.random.PRNGKey(1), cfgsamp
-        )
-        sentinel = jnp.full_like(words, bitops.UINT(0xFFFFFFFF))
-        sw, _, _, sv = keys.sort_words(
-            jnp.where(valid[:, None], words, sentinel),
-            weights, valid.astype(jnp.int32),
-        )
-        sv = sv.astype(bool)
+            words, weights, valid, _ = sample(
+                anqs, params, jax.random.PRNGKey(1), cfgsamp
+            )
+            sentinel = jnp.full_like(words, bitops.UINT(0xFFFFFFFF))
+            sw, _, _, sv = keys.sort_words(
+                jnp.where(valid[:, None], words, sentinel),
+                weights, valid.astype(jnp.int32),
+            )
+            sv = sv.astype(bool)
         la, ph = anqs.log_psi(params, sw)
         sw, sv, la, ph = jax.block_until_ready((sw, sv, la, ph))
 
@@ -811,9 +820,17 @@ class VMC:
 
         res["matrix_elements_ms"] = timed(body_me, jnp.float32(0))
 
-        def body_eloc(c, i):
-            e = engine.local_energy_proxy(sw, la + c * 1e-12, ph, sv)
-            return c + e.e_re.sum()
+        if self.exact_partner_idx is not None:
+            def body_eloc(c, i):
+                e = engine.local_energy_static(
+                    sw, la + c * 1e-12, ph, sv,
+                    self.exact_partner_idx, self.exact_partner_found,
+                )
+                return c + e.e_re.sum()
+        else:
+            def body_eloc(c, i):
+                e = engine.local_energy_proxy(sw, la + c * 1e-12, ph, sv)
+                return c + e.e_re.sum()
 
         res["local_energy_ms"] = timed(body_eloc, jnp.float32(0))
 
