@@ -211,6 +211,7 @@ class VMC:
 
         # Exact-summation support: enumerate + sort the whole sector once.
         self.exact_words = None
+        self.exact_valid = None
         self.exact_partner_idx = None
         self.exact_partner_found = None
         if self.config.sampling_mode == "exact":
@@ -242,7 +243,20 @@ class VMC:
                 (dets[:, None] >> np.arange(n, dtype=np.uint64)[None, :])
                 & np.uint64(1)
             ).astype(np.int64)
+            # Pad to a multiple of 64 with all-ones sentinel rows
+            # (valid=False): keeps row sharding even on any mesh (XLA's
+            # SPMD partitioner CHECK-fails on scatters over unevenly
+            # tiled rows) and aligns with the 64-pair row packing.
+            n_real = len(dets)
+            pad = (-n_real) % 64
+            if pad:
+                bits = np.concatenate(
+                    [bits, np.ones((pad, n), dtype=np.int64)]
+                )
             self.exact_words = bitops.pack(jnp.asarray(bits))
+            self.exact_valid = jnp.asarray(
+                np.arange(n_real + pad) < n_real
+            )
 
             # Static membership: the sector is fixed, so partner indices
             # for every (det, group) pair are one host-side searchsorted
@@ -263,8 +277,15 @@ class VMC:
                     a_ints = a_ints | (a_np[:, 1] << np.uint64(32))
                 partner = dets[:, None] ^ a_ints[None, :]
                 idx = np.searchsorted(dets, partner)
-                idxc = np.clip(idx, 0, len(dets) - 1).astype(np.int32)
+                idxc = np.clip(idx, 0, n_real - 1).astype(np.int32)
                 pf = dets[idxc] == partner
+                if pad:
+                    idxc = np.concatenate(
+                        [idxc, np.zeros((pad, len(a_ints)), np.int32)]
+                    )
+                    pf = np.concatenate(
+                        [pf, np.zeros((pad, len(a_ints)), bool)]
+                    )
                 self.exact_partner_idx = jnp.asarray(idxc)
                 self.exact_partner_found = jnp.asarray(pf)
 
@@ -297,6 +318,7 @@ class VMC:
             targets.append((self.anqs, "sign_structure"))
         if getattr(self, "exact_words", None) is not None:
             targets.append((self, "exact_words"))
+            targets.append((self, "exact_valid"))
         if getattr(self, "exact_partner_idx", None) is not None:
             targets.append((self, "exact_partner_idx"))
             targets.append((self, "exact_partner_found"))
@@ -535,13 +557,12 @@ class VMC:
     ):
         if sampling_config.mode == "exact":
             # Exact summation over the pre-enumerated (already sorted)
-            # sector; Born weights, everything valid.
+            # sector; Born weights; sentinel pad rows carry valid=False.
             words = self.exact_words
-            valid = jnp.ones(words.shape[0], dtype=bool)
-            weights = jnp.ones(words.shape[0], jnp.float32)
-            weights = weights / weights.shape[0]
-            stats = {"unique_num": jnp.asarray(words.shape[0]),
-                     "dropped": 0}
+            valid = self.exact_valid
+            n_real = jnp.sum(valid)
+            weights = jnp.where(valid, 1.0, 0.0) / n_real
+            stats = {"unique_num": n_real, "dropped": 0}
         else:
             key, sample_key = jax.random.split(key)
             words, weights, valid, stats = sample(
@@ -776,8 +797,8 @@ class VMC:
             # No sampler stage: the pre-enumerated sorted sector is the
             # batch every iteration.
             sw = self.exact_words
-            sv = jnp.ones(sw.shape[0], dtype=bool)
-            weights = jnp.ones(sw.shape[0], jnp.float32)
+            sv = self.exact_valid
+            weights = jnp.where(sv, 1.0, 0.0).astype(jnp.float32)
         else:
             def body_sample(c, i):
                 k, acc = c

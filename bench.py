@@ -67,7 +67,7 @@ def main():
     import numpy as np
 
     mol, vmc = build_vmc()
-    sector = int(vmc.exact_words.shape[0])
+    sector = int(vmc.exact_valid.sum())
     params, opt_state, key = vmc.init_state()
 
     steps = 25

@@ -80,3 +80,39 @@ def test_exact_static_membership_matches_dynamic():
               "grad_norm", "ipr"):
         np.testing.assert_allclose(m_dyn[k], m_st[k], rtol=1e-6,
                                    err_msg=k)
+
+
+def test_exact_static_membership_mesh_agreement():
+    """Exact-summation static-membership step under the 8-device mesh ==
+    single device (the (N, M) partner-index gathers must survive GSPMD
+    row sharding of a sector that does not divide the mesh)."""
+    import pytest
+    from anqs_quantum_chemistry_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mol = Molecule.create(
+        MolConfig(name="H2O"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+    base = dict(sampling_mode="exact", qubit_per_qudit=3, lr=1e-3, seed=0)
+
+    def run(mesh):
+        vmc = VMC(mol, VMCConfig(**base),
+                  AnqsConfig(hidden_widths=(16,)), mesh=mesh)
+        assert vmc.exact_partner_idx is not None
+        params, opt_state, key = vmc.init_state()
+        if mesh is None:
+            out = vmc._step(params, opt_state, key)
+        else:
+            with mesh:
+                out = jax.jit(vmc._step_impl)(params, opt_state, key)
+        return {k: float(v) for k, v in out[3].items()}
+
+    m1 = run(None)
+    m8 = run(make_mesh(8))
+    for k in m1:
+        a, b = m1[k], m8[k]
+        if np.isnan(a) and np.isnan(b):
+            continue
+        assert abs(a - b) <= 1e-5 + 1e-4 * abs(a), (k, a, b)

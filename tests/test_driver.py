@@ -269,7 +269,10 @@ def test_exact_summation_mode():
                        qubit_per_qudit=2, lr=5e-3, seed=1),
         AnqsConfig(hidden_widths=(8,)),
     )
-    assert vmc_e.exact_words.shape[0] == 4  # H2 sector
+    # H2 sector holds 4 determinants (padded to a 64-row multiple with
+    # valid=False sentinels for even mesh sharding).
+    assert int(vmc_e.exact_valid.sum()) == 4
+    assert vmc_e.exact_words.shape[0] == 64
     p, o, k = vmc_e.init_state()
     out_e = vmc_e._step(p, o, k)
     out_g = vmc_g._step(p, o, k)
