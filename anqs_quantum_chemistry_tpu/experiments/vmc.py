@@ -56,6 +56,11 @@ class VMCConfig(Config):
     # budget is a traced scalar, so retuning never recompiles.
     sample_precisely: bool = False
     target_unique: Optional[int] = None  # default: sample_num // 2
+    # Ceiling for the adaptive multinomial budget. The f64 binomial
+    # bisection keeps counts exact to 2^53 (sampler._binomial_bisect), so
+    # reference-scale 1e8 budgets (sandbox_qchem.py:54,135) are admissible;
+    # int32 accumulators cap it at 2^30.
+    max_multinomial_budget: int = 1 << 27
     symmetry_level: str = "e_num_spin"
     qubit_per_qudit: int = 6
     opt_type: str = "adam"
@@ -548,7 +553,10 @@ class VMC:
         u = max(1.0, float(unique_num))
         scale = min(4.0, max(0.25, target / u))
         self._mult_budget = int(
-            min(max(self._mult_budget * scale, cfg.sample_num), 1 << 24)
+            min(
+                max(self._mult_budget * scale, cfg.sample_num),
+                cfg.max_multinomial_budget,
+            )
         )
 
     def _step_body(

@@ -159,9 +159,14 @@ def gumbel_top_k_sample(
 
 
 def _binomial_bisect(key, counts, probs, k_bits: int):
-    """Split integer ``counts`` (K,) over D=2**k_bits slots ~ multinomial."""
+    """Split integer ``counts`` (K,) over D=2**k_bits slots ~ multinomial.
+
+    Counts ride in float64 so integer draws stay exact up to 2^53 --
+    this is what admits the reference's 1e8-sample budgets
+    (reference: nqs/nqs/sandbox_qchem.py:54,135); the old float32 carrier
+    capped exactness at 2^24."""
     k_cap = counts.shape[0]
-    counts_l = counts[:, None].astype(jnp.float32)  # (K, 1)
+    counts_l = counts[:, None].astype(jnp.float64)  # (K, 1)
     blocks = probs[:, None, :]  # (K, blocks, block_size)
     for level in range(k_bits):
         key, sub = jax.random.split(key)
@@ -172,9 +177,9 @@ def _binomial_bisect(key, counts, probs, k_bits: int):
         ratio = jnp.nan_to_num(pl / jnp.maximum(pl + pr, 1e-38), nan=0.0)
         # Deterministic splits (p = 0 or 1) bypass the binomial sampler:
         # jax.random.binomial mishandles the p == 1 edge (counts vanish).
-        safe_ratio = jnp.clip(ratio, 1e-7, 1.0 - 1e-7)
+        safe_ratio = jnp.clip(ratio, 1e-7, 1.0 - 1e-7).astype(jnp.float64)
         n_left = jax.random.binomial(
-            sub, counts_l, safe_ratio, dtype=jnp.float32
+            sub, counts_l, safe_ratio, dtype=jnp.float64
         )
         n_left = jnp.nan_to_num(n_left, nan=0.0)
         n_left = jnp.where(ratio >= 1.0 - 1e-9, counts_l, n_left)
@@ -194,10 +199,11 @@ def multinomial_sample(
 ) -> MultinomialSample:
     """Occupation-count sampling with capacity K = sample_num."""
     budget = int(budget if budget is not None else sample_num)
-    if budget > (1 << 24):
-        raise ValueError(
-            "multinomial budget > 2^24 loses exactness in float32 counts"
-        )
+    if budget > (1 << 30):
+        # int32 count/dropped accumulators; the f64 bisection itself is
+        # exact to 2^53. 2^30 > the reference's largest exercised budget
+        # (1e8, sandbox_qchem.py:54,135).
+        raise ValueError("multinomial budget > 2^30 overflows int32 counts")
     return _multinomial_core(
         anqs, params, key, sample_num, jnp.asarray(budget, jnp.int32)
     )
@@ -209,7 +215,7 @@ def sample_precisely(
     key,
     sample_num: int,
     target_unique: int,
-    max_budget: int = 1 << 24,
+    max_budget: int = 1 << 27,
     growth: float = 4.0,
 ):
     """Adaptive multinomial budget: rescale until >= target unique states.

@@ -72,6 +72,35 @@ def test_multinomial_exactness_and_distribution():
     )
 
 
+def test_multinomial_1e8_budget_exact():
+    """Reference-scale 1e8 budgets (sandbox_qchem.py:54,135): counts stay
+    exact (f64 bisection carrier) -- every one of the 10^8 samples is
+    accounted for, and empirical frequencies match |psi|^2 to the much
+    tighter 1/sqrt(1e8) multinomial noise floor."""
+    n = 8
+    masker, anqs, params, x, phys, probs = setup(n)
+    budget = 100_000_000
+    out = multinomial_sample(
+        anqs, params, jax.random.PRNGKey(7), 64, budget
+    )
+    counts = np.asarray(out.counts, np.int64)
+    valid = np.asarray(out.valid)
+    # capacity 64 >= |support| (36 states) -> nothing dropped, and the
+    # total is EXACTLY the budget (the f32 carrier lost counts here).
+    assert int(out.dropped) == 0
+    assert counts[valid].sum() == budget
+    ints = as_ints(out.words, n)
+    sampled = ints[valid]
+    assert set(sampled.tolist()) <= set(np.nonzero(phys)[0].tolist())
+    emp = np.zeros(2**n)
+    emp[sampled] = counts[valid] / budget
+    err = np.abs(emp - probs)
+    bound = 5 * np.sqrt(np.maximum(probs, 1e-9) / budget) + 5 / budget
+    assert (err < bound).all(), (
+        err.max(), probs[np.argmax(err)], emp[np.argmax(err)]
+    )
+
+
 def test_gumbel_full_support_recovery():
     """K >= |support| must return exactly the whole physical support."""
     n = 8
