@@ -107,6 +107,14 @@ class PauliEngine:
         # (parallel/dist_membership.py).
         mesh=None,
         mesh_axis: str = "data",
+        # hash_dist routing-capacity slack factors (uniform-hash sizing
+        # x slack); the driver's overflow policy doubles these when routed
+        # entries/queries overflow (experiments/vmc.py overflow_policy).
+        dist_entry_slack: float = 4.0,
+        dist_query_slack: float = 1.5,
+        # Extra log2 bucket-count bits for the hash builds (escalation
+        # hook for bucket overflow; 0 = the default ~25%-load sizing).
+        hash_extra_bits: int = 0,
     ):
         self.qubit_num = ham.qubit_num
         self.constant = float(ham.constant)
@@ -126,7 +134,7 @@ class PauliEngine:
         if membership == "auto":
             if ham.qubit_num <= self.MAX_TABLE_QUBITS:
                 membership = "table"
-            elif words <= 2:
+            elif words <= 4:
                 membership = "prefilter"
             else:
                 membership = "search"
@@ -139,8 +147,11 @@ class PauliEngine:
         self.lookup_chunk = lookup_chunk
         self.prefilter_row_capacity = prefilter_row_capacity
         self.prefilter_dense_rows = prefilter_dense_rows
+        self.dist_entry_slack = dist_entry_slack
+        self.dist_query_slack = dist_query_slack
+        self.hash_extra_bits = hash_extra_bits
         if membership == "prefilter":
-            assert words <= 2, "prefilter supports <= 64 qubits"
+            assert words <= 4, "prefilter supports <= 128 qubits"
 
         self.a_words = jnp.asarray(ham.a_masks)  # (M, W) uint32
 
@@ -266,6 +277,36 @@ class PauliEngine:
         acc = acc ^ (acc >> jnp.uint32(15))
         acc = acc * jnp.uint32(2246822519)
         acc = acc ^ (acc >> jnp.uint32(13))
+        return acc
+
+    @staticmethod
+    def _padded_cols(cols):
+        """Pad a 1-word column tuple to the 2-word layout (hi = 0)."""
+        if len(cols) == 1:
+            return (cols[0], jnp.zeros_like(cols[0]))
+        return tuple(cols)
+
+    @classmethod
+    def _bucket_hash(cls, cols):
+        """Bucket hash over W uint32 key words: the 2-word avalanche mix,
+        folded left over any extra words. Identical to ``_mix2(lo, hi)``
+        for W <= 2 (so the Pallas kernel and the distributed path stay
+        bit-compatible); the reference's membership is word-count-agnostic
+        the same way (reference: nqs/nqs/base/hilbert_space.py:263-284)."""
+        cols = cls._padded_cols(cols)
+        acc = cls._mix2(cols[0], cols[1])
+        for c in cols[2:]:
+            acc = cls._mix2(acc, c)
+        return acc
+
+    @classmethod
+    def _fp_hash(cls, cols):
+        """Fingerprint over W key words (independent constants from the
+        bucket hash); equals ``_fp32(lo, hi)`` for W <= 2."""
+        cols = cls._padded_cols(cols)
+        acc = cls._fp32(cols[0], cols[1])
+        for c in cols[2:]:
+            acc = cls._fp32(acc, c)
         return acc
 
     # ------------------------------------------------------------------
@@ -534,15 +575,15 @@ class PauliEngine:
             words, log_abs, phase, valid
         )
 
-        xp_lo = words[:, 0][:, None] ^ self.a_words[:, 0][None, :]
-        if w == 2:
-            xp_hi = words[:, 1][:, None] ^ self.a_words[:, 1][None, :]
-        else:
-            xp_hi = jnp.zeros_like(xp_lo)
-        if self.lookup_kernel == "pallas":
+        xp_cols = tuple(
+            words[:, i][:, None] ^ self.a_words[:, i][None, :]
+            for i in range(w)
+        )
+        shape = xp_cols[0].shape
+        if self.lookup_kernel == "pallas" and w <= 2:
             from ..ops.pallas_kernels import hash_lookup
 
-            shape = xp_lo.shape
+            xp_lo, xp_hi = self._padded_cols(xp_cols)
             la_p, ph_p, found = hash_lookup(
                 tab, xp_lo.reshape(-1), xp_hi.reshape(-1)
             )
@@ -550,9 +591,8 @@ class PauliEngine:
             ph_p = ph_p.reshape(shape)
             found = found.reshape(shape) & valid[:, None]
         else:
-            shape = xp_lo.shape
             la_p, ph_p = self._hash_query(
-                tab, nb, xp_lo.reshape(-1), xp_hi.reshape(-1)
+                tab, nb, tuple(c.reshape(-1) for c in xp_cols)
             )
             la_p = la_p.reshape(shape)
             ph_p = ph_p.reshape(shape)
@@ -575,6 +615,8 @@ class PauliEngine:
         la_p, ph_p, overflow_count = hash_membership_dist(
             self.mesh, self.mesh_axis, words, log_abs, phase, valid,
             self.a_words, lookup_chunk=self.lookup_chunk,
+            entry_slack=self.dist_entry_slack,
+            query_slack=self.dist_query_slack,
         )
         found = (la_p > 0.5 * neg) & valid[:, None]
         me = self.matrix_elements(words)
@@ -597,16 +639,24 @@ class PauliEngine:
         (~1e-11), counted when it happens.
         """
         b, w = words.shape
-        assert w <= 2, "hash membership supports <= 64 qubits so far"
-        epb = 32  # entries per bucket
-        nb = 1 << max(8, (4 * b // epb - 1).bit_length())
+        assert w <= 4, "hash membership supports <= 128 qubits"
+        # W <= 2: 32 entries/bucket, fields at lanes 0/32/64/96 (the layout
+        # the Pallas kernel reads). W in (3, 4): 16 entries/bucket, W key
+        # fields + (la, ph) at 16-lane strides within the same 128-lane
+        # row; the nb formula keeps the ~25% average load either way.
+        epb = 32 if w <= 2 else 16
+        nk = max(w, 2)  # stored key fields (1-word keys pad hi = 0)
+        nb = 1 << (
+            max(8, (4 * b // epb - 1).bit_length()) + self.hash_extra_bits
+        )
         neg = jnp.float32(-1e30)
 
-        w_lo = words[:, 0]
-        w_hi = words[:, 1] if w == 2 else jnp.zeros_like(w_lo)
+        cols = self._padded_cols(tuple(words[:, i] for i in range(w)))
         bucket = jnp.where(
             valid,
-            (self._mix2(w_lo, w_hi) & jnp.uint32(nb - 1)).astype(jnp.int32),
+            (self._bucket_hash(cols) & jnp.uint32(nb - 1)).astype(
+                jnp.int32
+            ),
             nb,
         )
         iota = jnp.arange(b, dtype=jnp.int32)
@@ -629,52 +679,56 @@ class PauliEngine:
         # because its la lane stays NEG).
         tab = jnp.full((nb, 128), neg, dtype=jnp.float32)
         row_i = jnp.where(valid & ~overflow, bucket, nb)
-        k_lo = jax.lax.bitcast_convert_type(w_lo, jnp.float32)
-        k_hi = jax.lax.bitcast_convert_type(w_hi, jnp.float32)
-        tab = tab.at[row_i, lane].set(k_lo, mode="drop")
-        tab = tab.at[row_i, lane + 32].set(k_hi, mode="drop")
-        tab = tab.at[row_i, lane + 64].set(
+        for i, c in enumerate(cols):
+            tab = tab.at[row_i, lane + i * epb].set(
+                jax.lax.bitcast_convert_type(c, jnp.float32), mode="drop"
+            )
+        tab = tab.at[row_i, lane + nk * epb].set(
             jnp.where(valid, log_abs, neg), mode="drop"
         )
-        tab = tab.at[row_i, lane + 96].set(phase, mode="drop")
+        tab = tab.at[row_i, lane + (nk + 1) * epb].set(phase, mode="drop")
         overflow_count = jnp.sum(overflow).astype(jnp.int32)
         if not with_fp:
             return tab, nb, overflow_count
-        fptab = jnp.zeros((nb, 32), dtype=jnp.uint32).at[row_i, lane].set(
-            self._fp32(w_lo, w_hi), mode="drop"
-        )
+        fptab = jnp.zeros((nb, epb), dtype=jnp.uint32).at[
+            row_i, lane
+        ].set(self._fp_hash(cols), mode="drop")
         return tab, nb, overflow_count, fptab
 
-    def _hash_query(self, tab, nb, q_lo, q_hi):
-        """Flat uint32 query words -> (log|psi|, phase); misses get NEG.
-        One 128-lane row gather per query + lane compares."""
+    def _hash_query(self, tab, nb, q_cols):
+        """Tuple of flat uint32 query word columns -> (log|psi|, phase);
+        misses get NEG. One 128-lane row gather per query + lane
+        compares."""
         neg = jnp.float32(-1e30)
+        w = len(q_cols)
+        epb = 32 if w <= 2 else 16
+        nk = max(w, 2)
 
-        def lookup(q_lo_, q_hi_):
+        def lookup(*qs):
             q_bucket = (
-                self._mix2(q_lo_, q_hi_) & jnp.uint32(nb - 1)
+                self._bucket_hash(qs) & jnp.uint32(nb - 1)
             ).astype(jnp.int32)
             rows_g = tab[q_bucket]  # (chunk, 128)
-            keys_lo = jax.lax.bitcast_convert_type(
-                rows_g[..., 0:32], jnp.uint32
-            )
-            keys_hi = jax.lax.bitcast_convert_type(
-                rows_g[..., 32:64], jnp.uint32
-            )
-            la_e = rows_g[..., 64:96]
-            match = (
-                (keys_lo == q_lo_[..., None])
-                & (keys_hi == q_hi_[..., None])
-                & (la_e > 0.5 * neg)
-            )
+            la_e = rows_g[..., nk * epb : (nk + 1) * epb]
+            match = la_e > 0.5 * neg
+            for i, q in enumerate(self._padded_cols(qs)):
+                keys_i = jax.lax.bitcast_convert_type(
+                    rows_g[..., i * epb : (i + 1) * epb], jnp.uint32
+                )
+                match = match & (keys_i == q[..., None])
             la = jnp.sum(jnp.where(match, la_e, 0.0), axis=-1)
             ph = jnp.sum(
-                jnp.where(match, rows_g[..., 96:128], 0.0), axis=-1
+                jnp.where(
+                    match,
+                    rows_g[..., (nk + 1) * epb : (nk + 2) * epb],
+                    0.0,
+                ),
+                axis=-1,
             )
             la = jnp.where(jnp.any(match, axis=-1), la, neg)
             return la, ph
 
-        return self._chunked_queries(lookup, (q_lo, q_hi))
+        return self._chunked_queries(lookup, tuple(q_cols))
 
     def _proxy_via_prefilter(self, words, log_abs, phase, valid):
         """Cheap-first membership: fingerprint pass + top_k compaction +
@@ -710,8 +764,9 @@ class PauliEngine:
         """
         b, w = words.shape
         m = self.n_groups
-        assert w <= 2, "prefilter supports <= 64 qubits"
+        assert w <= 4, "prefilter supports <= 128 qubits"
         neg = jnp.float32(-1e30)
+        epb = 32 if w <= 2 else 16
         c_row = min(self.prefilter_row_capacity, m)
         r_cap = self.prefilter_dense_rows
 
@@ -720,28 +775,27 @@ class PauliEngine:
         )
 
         # --- Stage 1: (B, M) candidate mask from the fingerprint pass.
-        xp_lo = words[:, 0][:, None] ^ self.a_words[:, 0][None, :]
-        if w == 2:
-            xp_hi = words[:, 1][:, None] ^ self.a_words[:, 1][None, :]
-        else:
-            xp_hi = jnp.zeros_like(xp_lo)
+        xp_cols = tuple(
+            words[:, i][:, None] ^ self.a_words[:, i][None, :]
+            for i in range(w)
+        )
 
-        def fp_probe(q_lo, q_hi):
+        def fp_probe(*qs):
             bucket = (
-                self._mix2(q_lo, q_hi) & jnp.uint32(nb - 1)
+                self._bucket_hash(qs) & jnp.uint32(nb - 1)
             ).astype(jnp.int32)
-            rows_fp = fptab[bucket]  # (chunk, 32) uint32
-            match = (rows_fp == self._fp32(q_lo, q_hi)[..., None]).astype(
+            rows_fp = fptab[bucket]  # (chunk, epb) uint32
+            match = (rows_fp == self._fp_hash(qs)[..., None]).astype(
                 jnp.float32
             )
             count = jnp.dot(
-                match, jnp.ones((32, 1), jnp.float32),
+                match, jnp.ones((epb, 1), jnp.float32),
                 preferred_element_type=jnp.float32,
             )[..., 0]
             return (count > 0.5,)
 
         (hit_flat,) = self._chunked_queries(
-            fp_probe, (xp_lo.reshape(-1), xp_hi.reshape(-1))
+            fp_probe, tuple(c.reshape(-1) for c in xp_cols)
         )
         hit = hit_flat.reshape(b, m) & valid[:, None]
 
@@ -757,14 +811,11 @@ class PauliEngine:
         me = self.matrix_elements(words)  # (B, M)
 
         # --- Stage 3a: exact verification of compacted candidates.
-        q_lo = words[:, 0][:, None] ^ self.a_words[:, 0][m_idx]
-        if w == 2:
-            q_hi = words[:, 1][:, None] ^ self.a_words[:, 1][m_idx]
-        else:
-            q_hi = jnp.zeros_like(q_lo)
-        la1, ph1 = self._hash_query(
-            tab, nb, q_lo.reshape(-1), q_hi.reshape(-1)
+        q_cols = tuple(
+            (words[:, i][:, None] ^ self.a_words[:, i][m_idx]).reshape(-1)
+            for i in range(w)
         )
+        la1, ph1 = self._hash_query(tab, nb, q_cols)
         la1 = la1.reshape(b, c_row)
         ph1 = ph1.reshape(b, c_row)
         found1 = (la1 > 0.5 * neg) & pair_ok
@@ -783,14 +834,11 @@ class PauliEngine:
         rw = jnp.stack(
             [words[:, j][safe_rows] for j in range(w)], axis=-1
         )
-        q2_lo = rw[:, 0][:, None] ^ self.a_words[:, 0][None, :]
-        if w == 2:
-            q2_hi = rw[:, 1][:, None] ^ self.a_words[:, 1][None, :]
-        else:
-            q2_hi = jnp.zeros_like(q2_lo)
-        la2, ph2 = self._hash_query(
-            tab, nb, q2_lo.reshape(-1), q2_hi.reshape(-1)
+        q2_cols = tuple(
+            (rw[:, i][:, None] ^ self.a_words[:, i][None, :]).reshape(-1)
+            for i in range(w)
         )
+        la2, ph2 = self._hash_query(tab, nb, q2_cols)
         la2 = la2.reshape(r_cap, m)
         ph2 = ph2.reshape(r_cap, m)
         found2 = (la2 > 0.5 * neg) & row_ok[:, None]

@@ -65,13 +65,13 @@ def _rank_in_group(group: jnp.ndarray) -> jnp.ndarray:
 def hash_membership_dist(
     mesh,
     axis: str,
-    words,  # (B, W) row-sharded over `axis`; W <= 2
+    words,  # (B, W) row-sharded over `axis`; W <= 4
     log_abs,  # (B,)
     phase,  # (B,)
     valid,  # (B,) bool
     a_words,  # (M, W) replicated flip masks
     *,
-    epb: int = 32,
+    epb: int = None,
     entry_slack: float = 4.0,
     query_slack: float = 1.5,
     lookup_chunk=None,
@@ -84,13 +84,18 @@ def hash_membership_dist(
     """
     from ..observables.pauli import PauliEngine
 
-    mix2 = PauliEngine._mix2
+    bucket_hash = PauliEngine._bucket_hash
     neg = jnp.float32(NEG)
 
     d = mesh.shape[axis]
     b, w = words.shape
     m = a_words.shape[0]
-    assert w <= 2, "hash membership supports <= 64 qubits so far"
+    assert w <= 4, "hash membership supports <= 128 qubits"
+    if epb is None:
+        # Same planar 128-lane rows as the replicated build: 32 entries x
+        # 4 fields for W <= 2, 16 entries x (W + 2) fields for W in (3, 4).
+        epb = 32 if w <= 2 else 16
+    nk = max(w, 2)  # stored key fields (1-word keys pad hi = 0)
     assert b % d == 0
     b_loc = b // d
     nb_total = 1 << max(8, (4 * b // epb - 1).bit_length(), d.bit_length())
@@ -106,24 +111,25 @@ def hash_membership_dist(
 
     def shard_fn(words_s, log_abs_s, phase_s, valid_s, a_words_s):
         me = jax.lax.axis_index(axis).astype(jnp.int32)
-        w_lo = words_s[:, 0]
-        w_hi = words_s[:, 1] if w == 2 else jnp.zeros_like(w_lo)
+        w_cols = PauliEngine._padded_cols(
+            tuple(words_s[:, i] for i in range(w))
+        )
 
         # ---- build: route entries to their bucket owner ----
-        bucket = (mix2(w_lo, w_hi) & jnp.uint32(nb_total - 1)).astype(
-            jnp.int32
-        )
+        bucket = (
+            bucket_hash(w_cols) & jnp.uint32(nb_total - 1)
+        ).astype(jnp.int32)
         owner = jnp.where(valid_s, bucket >> shift_local, d)
         rank = _rank_in_group(owner)
         send_ovf_e = valid_s & (rank >= cap_e)
         slot = jnp.where(
             valid_s & ~send_ovf_e, owner * cap_e + rank, d * cap_e
         )
-        buf_lo = jnp.zeros((d * cap_e,), jnp.uint32).at[slot].set(
-            w_lo, mode="drop"
-        )
-        buf_hi = jnp.zeros((d * cap_e,), jnp.uint32).at[slot].set(
-            w_hi, mode="drop"
+        buf_keys = tuple(
+            jnp.zeros((d * cap_e,), jnp.uint32).at[slot].set(
+                c, mode="drop"
+            )
+            for c in w_cols
         )
         buf_la = jnp.full((d * cap_e,), neg).at[slot].set(
             jnp.where(valid_s, log_abs_s, neg), mode="drop"
@@ -136,74 +142,76 @@ def hash_membership_dist(
             jax.lax.all_to_all, axis_name=axis, split_axis=0,
             concat_axis=0, tiled=True,
         )
-        r_lo, r_hi, r_la, r_ph = (
-            a2a(buf_lo), a2a(buf_hi), a2a(buf_la), a2a(buf_ph)
-        )
+        r_keys = tuple(a2a(bk) for bk in buf_keys)
+        r_la, r_ph = a2a(buf_la), a2a(buf_ph)
 
         # Owner-side build of the local (nb_local, 128) planar shard.
         r_valid = r_la > 0.5 * neg
-        r_bucket = (mix2(r_lo, r_hi) & jnp.uint32(nb_total - 1)).astype(
-            jnp.int32
-        )
+        r_bucket = (
+            bucket_hash(r_keys) & jnp.uint32(nb_total - 1)
+        ).astype(jnp.int32)
         loc = jnp.where(r_valid, r_bucket - me * nb_local, nb_local)
         rank2 = _rank_in_group(loc)
         ovf_b = r_valid & (rank2 >= epb)
         row_i = jnp.where(r_valid & ~ovf_b, loc, nb_local)
         tab = jnp.full((nb_local, 128), neg, dtype=jnp.float32)
-        tab = tab.at[row_i, rank2].set(
-            jax.lax.bitcast_convert_type(r_lo, jnp.float32), mode="drop"
-        )
-        tab = tab.at[row_i, rank2 + 32].set(
-            jax.lax.bitcast_convert_type(r_hi, jnp.float32), mode="drop"
-        )
-        tab = tab.at[row_i, rank2 + 64].set(
+        for i, rk in enumerate(r_keys):
+            tab = tab.at[row_i, rank2 + i * epb].set(
+                jax.lax.bitcast_convert_type(rk, jnp.float32),
+                mode="drop",
+            )
+        tab = tab.at[row_i, rank2 + nk * epb].set(
             jnp.where(r_valid, r_la, neg), mode="drop"
         )
-        tab = tab.at[row_i, rank2 + 96].set(r_ph, mode="drop")
+        tab = tab.at[row_i, rank2 + (nk + 1) * epb].set(
+            r_ph, mode="drop"
+        )
 
         # ---- query: route connected keys to their owner ----
-        xp_lo = (w_lo[:, None] ^ a_words_s[:, 0][None, :]).reshape(-1)
-        if w == 2:
-            xp_hi = (w_hi[:, None] ^ a_words_s[:, 1][None, :]).reshape(-1)
-        else:
-            xp_hi = jnp.zeros_like(xp_lo)
-        q_bucket = (mix2(xp_lo, xp_hi) & jnp.uint32(nb_total - 1)).astype(
-            jnp.int32
+        xp_cols = PauliEngine._padded_cols(
+            tuple(
+                (words_s[:, i][:, None] ^ a_words_s[:, i][None, :])
+                .reshape(-1)
+                for i in range(w)
+            )
         )
+        q_bucket = (
+            bucket_hash(xp_cols) & jnp.uint32(nb_total - 1)
+        ).astype(jnp.int32)
         owner_q = q_bucket >> shift_local
         rank_q = _rank_in_group(owner_q)
         ovf_q = rank_q >= cap_q
         slot_q = jnp.where(ovf_q, d * cap_q, owner_q * cap_q + rank_q)
-        qbuf_lo = jnp.zeros((d * cap_q,), jnp.uint32).at[slot_q].set(
-            xp_lo, mode="drop"
+        qbufs = tuple(
+            jnp.zeros((d * cap_q,), jnp.uint32).at[slot_q].set(
+                c, mode="drop"
+            )
+            for c in xp_cols
         )
-        qbuf_hi = jnp.zeros((d * cap_q,), jnp.uint32).at[slot_q].set(
-            xp_hi, mode="drop"
-        )
-        rq_lo, rq_hi = a2a(qbuf_lo), a2a(qbuf_hi)
+        rq_cols = tuple(a2a(qb) for qb in qbufs)
 
-        def lookup(q_lo_, q_hi_):
+        def lookup(*qs):
             loc_q = (
-                mix2(q_lo_, q_hi_) & jnp.uint32(nb_total - 1)
+                bucket_hash(qs) & jnp.uint32(nb_total - 1)
             ).astype(jnp.int32) - me * nb_local
             # Padding slots hash to buckets outside this shard: OOB rows
             # gather as NEG -> miss.
             rows_g = tab.at[loc_q].get(mode="fill", fill_value=-1e30)
-            keys_lo = jax.lax.bitcast_convert_type(
-                rows_g[..., 0:32], jnp.uint32
-            )
-            keys_hi = jax.lax.bitcast_convert_type(
-                rows_g[..., 32:64], jnp.uint32
-            )
-            la_e = rows_g[..., 64:96]
-            match = (
-                (keys_lo == q_lo_[..., None])
-                & (keys_hi == q_hi_[..., None])
-                & (la_e > 0.5 * neg)
-            )
+            la_e = rows_g[..., nk * epb : (nk + 1) * epb]
+            match = la_e > 0.5 * neg
+            for i, q in enumerate(qs):
+                keys_i = jax.lax.bitcast_convert_type(
+                    rows_g[..., i * epb : (i + 1) * epb], jnp.uint32
+                )
+                match = match & (keys_i == q[..., None])
             la = jnp.sum(jnp.where(match, la_e, 0.0), axis=-1)
             ph = jnp.sum(
-                jnp.where(match, rows_g[..., 96:128], 0.0), axis=-1
+                jnp.where(
+                    match,
+                    rows_g[..., (nk + 1) * epb : (nk + 2) * epb],
+                    0.0,
+                ),
+                axis=-1,
             )
             return jnp.where(jnp.any(match, axis=-1), la, neg), ph
 
@@ -212,12 +220,12 @@ def hash_membership_dist(
             pad = (-n_q) % lookup_chunk
             stacked = tuple(
                 jnp.pad(x, (0, pad)).reshape(-1, lookup_chunk)
-                for x in (rq_lo, rq_hi)
+                for x in rq_cols
             )
             outs = jax.lax.map(lambda t: lookup(*t), stacked)
             ans_la, ans_ph = (o.reshape(-1)[:n_q] for o in outs)
         else:
-            ans_la, ans_ph = lookup(rq_lo, rq_hi)
+            ans_la, ans_ph = lookup(*rq_cols)
 
         # Route answers back; they land in the sender's slot layout.
         back_la, back_ph = a2a(ans_la), a2a(ans_ph)
