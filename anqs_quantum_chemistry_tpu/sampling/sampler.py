@@ -92,38 +92,56 @@ def _expand_words_dyn(anqs: ANQS, words, parent_idx, cont, q):
     return bitops.set_bit_range_dyn(new_words, start, anqs.max_width, cont)
 
 
+def _frontier_saturation_step(anqs: ANQS, k_cap: int) -> int:
+    """First qudit step whose INCOMING frontier already holds ``k_cap``
+    rows. The frontier entering step q has at most prod(2**width_j,
+    j < q) distinct prefixes, so steps before the saturation point run
+    unrolled on exactly-sized small arrays and only the saturated tail
+    runs the full (k_cap, D) expansion inside one lax.scan. At qpq=10 /
+    16k samples this cuts the dominant last-step top_k from 16.7M to 1M
+    candidates (the round-2 all-scan sampler paid the full expansion at
+    every step)."""
+    c = 1
+    for q in range(anqs.qudit_num):
+        if c >= k_cap:
+            return q
+        c *= 1 << int(anqs.qudit_widths[q])
+    return anqs.qudit_num
+
+
 def gumbel_top_k_sample(
     anqs: ANQS, params, key, sample_num: int, mesh=None
 ) -> GumbelSample:
     """Exactly the ``sample_num`` distinct most-probable-by-Gumbel states.
 
-    The per-qudit ancestral loop is a ``lax.scan``: one traced network
-    forward + top_k serves all qudit steps, keeping the compiled program
-    size independent of qudit count (vs the reference's Python loop,
+    Capacity-scheduled ancestral loop: the first steps (frontier smaller
+    than ``sample_num``) are unrolled with exact static shapes; the
+    remaining full-capacity steps run in one ``lax.scan`` (one traced
+    network forward + top_k serving all of them, keeping compile time
+    bounded -- vs the reference's per-qudit Python loop,
     abstract_anqs.py:690-776).
 
-    With a ``mesh``, the frontier is sharded over the data axis: each
-    device expands and scores its own prefix rows (the network forward is
-    the dominant cost and parallelizes perfectly); the global top-k over
-    Gumbel keys is the one collective per qudit step (SURVEY.md section 2
-    "sampling parallelism"). GSPMD keeps semantics identical to the
-    replicated run.
+    With a ``mesh``, the full-capacity frontier is sharded over the data
+    axis: each device expands and scores its own prefix rows (the network
+    forward is the dominant cost and parallelizes perfectly); the global
+    top-k over Gumbel keys is the one collective per qudit step
+    (SURVEY.md section 2 "sampling parallelism"). The unrolled prefix
+    stays replicated (its arrays are tiny). GSPMD keeps semantics
+    identical to the replicated run.
     """
     from ..parallel.mesh import shard_rows
 
     k_cap = sample_num
     d = anqs.max_dim
-    words = jnp.zeros((k_cap, anqs.n_words), dtype=bitops.UINT)
-    memo = jnp.full((k_cap,), anqs.start_memo_idx, dtype=jnp.int32)
-    logp = jnp.full((k_cap,), NEG, dtype=jnp.float32).at[0].set(0.0)
-    gumbel = jnp.full((k_cap,), NEG, dtype=jnp.float32).at[0].set(0.0)
+    q_num = anqs.qudit_num
+    subkeys = jax.random.split(key, q_num)
 
-    def body(carry, xs):
+    def step(carry, q, sub, k_out, shard):
         words, memo, logp, gumbel = carry
-        q, sub = xs
-        words, memo, logp, gumbel = shard_rows(
-            (words, memo, logp, gumbel), mesh
-        )
+        if shard:
+            words, memo, logp, gumbel = shard_rows(
+                (words, memo, logp, gumbel), mesh
+            )
         mask_q = jnp.take(anqs.mask_tables, q, axis=0)  # (S, D)
         trans_q = jnp.take(anqs.trans_tables, q, axis=0)  # (S, D)
         alive = logp > 0.5 * NEG
@@ -133,25 +151,61 @@ def gumbel_top_k_sample(
         child_logp = jnp.maximum(logp[:, None] + 2.0 * cond, NEG)
         child_gumbel = _gumbels_given_max(sub, child_logp, gumbel)
         child_gumbel = jnp.where(child_logp > 0.5 * NEG, child_gumbel, NEG)
-        child_gumbel = shard_rows(child_gumbel, mesh)
+        if shard:
+            child_gumbel = shard_rows(child_gumbel, mesh)
 
-        top_g, top_idx = jax.lax.top_k(child_gumbel.reshape(-1), k_cap)
+        top_g, top_idx = jax.lax.top_k(child_gumbel.reshape(-1), k_out)
         parent = top_idx // d
         cont = (top_idx % d).astype(jnp.int32)
         words = _expand_words_dyn(anqs, words, parent, cont, q)
         memo = trans_q[memo[parent], cont]
         logp = child_logp.reshape(-1)[top_idx]
-        return (words, memo, logp, top_g), None
+        return (words, memo, logp, top_g)
 
-    (words, memo, logp, gumbel), _ = jax.lax.scan(
-        body,
-        (words, memo, logp, gumbel),
-        (
-            jnp.arange(anqs.qudit_num, dtype=jnp.int32),
-            jax.random.split(key, anqs.qudit_num),
-        ),
+    q_sat = _frontier_saturation_step(anqs, k_cap)
+    carry = (
+        jnp.zeros((1, anqs.n_words), dtype=bitops.UINT),
+        jnp.full((1,), anqs.start_memo_idx, dtype=jnp.int32),
+        jnp.zeros((1,), dtype=jnp.float32),
+        jnp.zeros((1,), dtype=jnp.float32),
     )
+    cap_now = 1
+    for q in range(q_sat):
+        cap_now = min(
+            cap_now * (1 << int(anqs.qudit_widths[q])), k_cap
+        )
+        carry = step(carry, q, subkeys[q], cap_now, shard=False)
 
+    if cap_now < k_cap:
+        # Whole space smaller than k_cap: pad to the fixed return shape.
+        pad = k_cap - cap_now
+        words, memo, logp, gumbel = carry
+        carry = (
+            jnp.concatenate(
+                [words, jnp.zeros((pad, anqs.n_words), bitops.UINT)]
+            ),
+            jnp.concatenate(
+                [memo, jnp.full((pad,), anqs.start_memo_idx, jnp.int32)]
+            ),
+            jnp.concatenate([logp, jnp.full((pad,), NEG, jnp.float32)]),
+            jnp.concatenate([gumbel, jnp.full((pad,), NEG, jnp.float32)]),
+        )
+
+    if q_sat < q_num:
+        def body(c, xs):
+            q, sub = xs
+            return step(c, q, sub, k_cap, shard=True), None
+
+        carry, _ = jax.lax.scan(
+            body,
+            carry,
+            (
+                jnp.arange(q_sat, q_num, dtype=jnp.int32),
+                subkeys[q_sat:],
+            ),
+        )
+
+    words, memo, logp, gumbel = carry
     valid = logp > 0.5 * NEG
     norm = jax.nn.logsumexp(jnp.where(valid, logp, NEG))
     log_probs = jnp.where(valid, logp - norm, NEG)
@@ -242,17 +296,16 @@ def sample_precisely(
 def _multinomial_core(anqs: ANQS, params, key, k_cap: int, budget):
     """multinomial_sample body with a (possibly traced) budget scalar.
 
-    lax.scan over qudits, like ``gumbel_top_k_sample``."""
+    Capacity-scheduled like ``gumbel_top_k_sample``: unrolled exact-shape
+    steps until the frontier saturates at ``k_cap``, then one lax.scan
+    over the remaining qudits."""
     d = anqs.max_dim
+    q_num = anqs.qudit_num
     k_bits = int(d).bit_length() - 1
-    words = jnp.zeros((k_cap, anqs.n_words), dtype=bitops.UINT)
-    memo = jnp.full((k_cap,), anqs.start_memo_idx, dtype=jnp.int32)
-    counts = jnp.zeros((k_cap,), dtype=jnp.int32).at[0].set(budget)
-    dropped = jnp.zeros((), dtype=jnp.int32)
+    subkeys = jax.random.split(key, q_num)
 
-    def body(carry, xs):
+    def step(carry, q, sub, k_out):
         words, memo, counts, dropped = carry
-        q, sub = xs
         mask_q = jnp.take(anqs.mask_tables, q, axis=0)
         trans_q = jnp.take(anqs.trans_tables, q, axis=0)
         alive = counts > 0
@@ -268,7 +321,7 @@ def _multinomial_core(anqs: ANQS, params, key, k_cap: int, budget):
         child_counts = jnp.where(
             counts[:, None] > 0, child_counts, 0
         ).reshape(-1)
-        top_c, top_idx = jax.lax.top_k(child_counts, k_cap)
+        top_c, top_idx = jax.lax.top_k(child_counts, k_out)
         dropped = dropped + (
             jnp.sum(child_counts) - jnp.sum(top_c)
         ).astype(jnp.int32)
@@ -276,16 +329,51 @@ def _multinomial_core(anqs: ANQS, params, key, k_cap: int, budget):
         cont = (top_idx % d).astype(jnp.int32)
         words = _expand_words_dyn(anqs, words, parent, cont, q)
         memo = trans_q[memo[parent], cont]
-        return (words, memo, top_c, dropped), None
+        return (words, memo, top_c, dropped)
 
-    (words, memo, counts, dropped), _ = jax.lax.scan(
-        body,
-        (words, memo, counts, dropped),
-        (
-            jnp.arange(anqs.qudit_num, dtype=jnp.int32),
-            jax.random.split(key, anqs.qudit_num),
-        ),
+    q_sat = _frontier_saturation_step(anqs, k_cap)
+    carry = (
+        jnp.zeros((1, anqs.n_words), dtype=bitops.UINT),
+        jnp.full((1,), anqs.start_memo_idx, dtype=jnp.int32),
+        jnp.zeros((1,), dtype=jnp.int32).at[0].set(budget),
+        jnp.zeros((), dtype=jnp.int32),
     )
+    cap_now = 1
+    for q in range(q_sat):
+        cap_now = min(
+            cap_now * (1 << int(anqs.qudit_widths[q])), k_cap
+        )
+        carry = step(carry, q, subkeys[q], cap_now)
+
+    if cap_now < k_cap:
+        pad = k_cap - cap_now
+        words, memo, counts, dropped = carry
+        carry = (
+            jnp.concatenate(
+                [words, jnp.zeros((pad, anqs.n_words), bitops.UINT)]
+            ),
+            jnp.concatenate(
+                [memo, jnp.full((pad,), anqs.start_memo_idx, jnp.int32)]
+            ),
+            jnp.concatenate([counts, jnp.zeros((pad,), jnp.int32)]),
+            dropped,
+        )
+
+    if q_sat < q_num:
+        def body(c, xs):
+            q, sub = xs
+            return step(c, q, sub, k_cap), None
+
+        carry, _ = jax.lax.scan(
+            body,
+            carry,
+            (
+                jnp.arange(q_sat, q_num, dtype=jnp.int32),
+                subkeys[q_sat:],
+            ),
+        )
+
+    words, memo, counts, dropped = carry
     return MultinomialSample(
         words=words, counts=counts, valid=counts > 0, dropped=dropped
     )
