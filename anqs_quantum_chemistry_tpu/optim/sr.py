@@ -75,43 +75,77 @@ def sr_transform(
     j_la = j_la - jnp.sum(f[:, None] * j_la, axis=0, keepdims=True)
     j_ph = j_ph - jnp.sum(f[:, None] * j_ph, axis=0, keepdims=True)
 
-    eps = config.reg_eps
     sqrt_f = jnp.sqrt(f)[:, None]
     # Natural scaling (no eps^-1 inside O): with O' = diag(sqrt f) conj(J),
     # MinSR reads grad <- eps^-1 [g - O'^dag (eps I + O' O'^dag)^-1 O' g],
-    # algebraically identical to the reference form (sr.py:121-128). The
-    # tiny Hermitian S = O' O'^dag is solved by Jacobi-prescaled f32 LU
-    # below (f64 linear algebra does not compile on this TPU toolchain:
-    # "Only F32 and C64 implemented in LuDecomposition").
+    # algebraically identical to the reference form (sr.py:121-128).
     o_re = sqrt_f * j_la
     o_im = sqrt_f * j_ph
+    new_flat = minsr_precondition(
+        o_re, o_im, g, config.reg_eps, config.use_reg
+    )
+    return unravel(new_flat)
 
+
+def _solve_prescaled(m, d, rhs):
+    """Jacobi-prescaled f32 solve of the SPD ``m`` with one iterative-
+    refinement step (halves the f32 LU's worst-case relative error; the
+    extra k x k solve is negligible at k <= 50)."""
+    def solve(v):
+        return d * jnp.linalg.solve(m * d[:, None] * d[None, :], d * v)
+
+    x = solve(rhs)
+    return x + solve(rhs - m @ x)
+
+
+def minsr_precondition(o_re, o_im, g, eps, use_reg: bool = True):
+    """The MinSR sample-space solve on an explicit (k, P) O-matrix.
+
+    use_reg=True (reference sr.py:121-128):
+        grad <- eps^-1 [g - O^dag (eps I + O O^dag)^-1 O g].
+    use_reg=False (reference sr.py:129-135 + utils/misc.py:45-52, the
+    SVD-pseudo-inverse variant):
+        grad <- O^dag pinv(T)^2 O g  =  (O^dag O)^+ g,  T = O O^dag,
+    realized here as a twice-applied small-ridge solve (lambda /
+    (lambda + reg)^2 -> truncates near-zero eigenvalues exactly like the
+    reference's soft SVD cutoff, without an SVD -- f64 linalg and f32
+    eigh/SVD do not compile through this TPU toolchain).
+
+    The Hermitian k x k system is embedded as a real-symmetric 2k x 2k
+    block and solved by Jacobi-prescaled f32 LU with one iterative-
+    refinement step; ``eps`` gets a relative floor of 2^-20 * max diag(S)
+    so the f32 factorization's condition number stays <= ~1e6 even for
+    adversarial (near-singular) Gram matrices (accuracy envelope
+    validated against an f64 oracle in tests/test_sr_accuracy.py).
+    """
+    k = o_re.shape[0]
     s_re = o_re @ o_re.T + o_im @ o_im.T
     s_im = o_im @ o_re.T - o_re @ o_im.T
     og_re = o_re @ g
     og_im = o_im @ g
 
-    # Real symmetric 2k x 2k embedding of the Hermitian S, solved by f32 LU
-    # with Jacobi pre-scaling (f64 linalg and f32 eigh are unusable through
-    # this TPU toolchain: f64 LU unimplemented, eigh expansion compiles for
-    # >10 minutes). Pre-scaling keeps the condition number manageable for
-    # the f32 factorization.
     block = jnp.block([[s_re, -s_im], [s_im, s_re]])
-    reg = eps if config.use_reg else 1e-6 * jnp.max(jnp.diag(block))
+    floor = jnp.float32(2.0**-20) * jnp.max(jnp.diag(block))
+    reg = jnp.maximum(
+        jnp.float32(eps) if use_reg else jnp.float32(0.0), floor
+    )
     m = block + reg * jnp.eye(2 * k, dtype=jnp.float32)
     d = jax.lax.rsqrt(jnp.maximum(jnp.diag(m), 1e-30))
-    m_scaled = m * d[:, None] * d[None, :]
     rhs = jnp.concatenate([og_re, og_im])
-    y = d * jnp.linalg.solve(m_scaled, d * rhs)
+    y = _solve_prescaled(m, d, rhs)
+    if not use_reg:
+        # Second application: (S + reg)^-2 ~= pinv(S)^2 on the retained
+        # spectrum, with near-zero eigenvalues damped to zero.
+        y = _solve_prescaled(m, d, y)
     y_re, y_im = y[:k], y[k:]
 
-    # O'^dag y = (O_re^T - i O_im^T)(y_re + i y_im); real part only.
+    # O^dag y = (O_re^T - i O_im^T)(y_re + i y_im); real part only.
     ody_re = o_re.T @ y_re + o_im.T @ y_im
-    if config.use_reg:
-        new_flat = (g - ody_re) / eps
-    else:
-        new_flat = ody_re
-    return unravel(new_flat)
+    if use_reg:
+        # Divide by the EFFECTIVE regularizer (floor included): the MinSR
+        # identity needs the same eps in the solve and the prefactor.
+        return (g - ody_re) / reg
+    return ody_re
 
 
 def clip_grad_norm(grad_pytree, max_norm: float):
