@@ -23,7 +23,10 @@ import numpy as np
 
 ELEMENTS = {
     "H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8,
-    "F": 9, "Ne": 10,
+    "F": 9, "Ne": 10, "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15,
+    "S": 16, "Cl": 17, "Ar": 18, "K": 19, "Ca": 20, "Sc": 21, "Ti": 22,
+    "V": 23, "Cr": 24, "Mn": 25, "Fe": 26, "Co": 27, "Ni": 28, "Cu": 29,
+    "Zn": 30,
 }
 
 # Universal STO-3G expansions of zeta=1 Slater orbitals: (exponent, coef).
@@ -135,18 +138,32 @@ _631G: Dict[str, list] = {
 
 @dataclasses.dataclass(frozen=True)
 class Shell:
-    """A contracted Cartesian Gaussian shell on one center."""
+    """A contracted Cartesian Gaussian shell on one center.
+
+    ``pure=True`` marks a shell whose final AOs are real solid harmonics
+    (5d instead of Cartesian 6d): integrals are still assembled over the
+    Cartesian components and transformed at the end
+    (integrals.compute_integrals_ao). The reference's Cr SV/vdz bases are
+    spherical (reference: run_pyscf.py:26-27 'SPHERICAL' directive).
+    """
 
     center: Tuple[float, float, float]
-    angmom: int  # 0 = s, 1 = p
+    angmom: int  # 0 = s, 1 = p, 2 = d
     exps: Tuple[float, ...]
     coefs: Tuple[float, ...]  # contraction coefficients (unnormalized input)
     atom_index: int
+    pure: bool = False
 
     @property
     def n_functions(self) -> int:
+        """Cartesian component count (the integral-assembly width)."""
         l = self.angmom
         return (l + 1) * (l + 2) // 2
+
+    @property
+    def n_final(self) -> int:
+        """AO count after the optional spherical transform."""
+        return 2 * self.angmom + 1 if self.pure else self.n_functions
 
     def cartesian_powers(self) -> List[Tuple[int, int, int]]:
         l = self.angmom
@@ -182,6 +199,41 @@ _631G_STAR_D = {
     "F": 0.8, "Ne": 0.8,
 }
 
+# The reference's custom Cr split-valence basis for the Cr2 application
+# ((14s,8p,5d) -> [5s,2p,2d], SPHERICAL): identical primitive data to its
+# 'cr_vdz_basis_string'/'sv_basis' tables (reference:
+# nqs/nqs/applications/quantum_chemistry/run_pyscf.py:26-106). 'D5' marks
+# spherical (5-component) d shells.
+_CR_SV = [
+    ("S", [(51528.086349, 0.14405823106e-02),
+           (7737.2103487, 0.11036202287e-01),
+           (1760.3748470, 0.54676651806e-01),
+           (496.87706544, 0.18965038103),
+           (161.46520598, 0.38295412850),
+           (55.466352268, 0.29090050668)]),
+    ("S", [(107.54732999, -0.10932281100),
+           (12.408671897, 0.64472599471),
+           (5.0423628826, 0.46262712560)]),
+    ("S", [(8.5461640165, -0.22711013286),
+           (1.3900441221, 0.73301527591),
+           (0.56066602876, 0.44225565433)]),
+    ("S", [(0.71483705972e-01, 1.0)]),
+    ("S", [(0.28250687604e-01, 1.0)]),
+    ("P", [(640.48536096, 0.96126715203e-02),
+           (150.69711194, 0.70889834655e-01),
+           (47.503755296, 0.27065258990),
+           (16.934120165, 0.52437343414),
+           (6.2409680590, 0.34107994714)]),
+    ("P", [(3.0885463206, 0.33973986903),
+           (1.1791047769, 0.57272062927),
+           (0.43369774432, 0.24582728206)]),
+    ("D5", [(27.559479426, 0.30612488044e-01),
+            (7.4687020327, 0.15593270944),
+            (2.4345903574, 0.36984421276),
+            (0.78244754808, 0.47071118077)]),
+    ("D5", [(0.21995774311, 0.33941649889)]),
+]
+
 
 def _element_shell_data(element: str, basis: str):
     basis = basis.lower().replace("-", "")
@@ -196,6 +248,14 @@ def _element_shell_data(element: str, basis: str):
         if basis != "631g" and element in _631G_STAR_D:
             shells.append(("D", [(_631G_STAR_D[element], 1.0)]))
         return shells
+    if basis in ("sv", "vdz", "cr_sv"):
+        # The reference's custom split-valence set for the Cr2 system
+        # (identical primitives under both of its names, run_pyscf.py:26-106).
+        if element != "Cr":
+            raise NotImplementedError(
+                f"sv/vdz basis only embedded for Cr (got {element})"
+            )
+        return _CR_SV
     raise ValueError(f"Unknown basis: {basis}")
 
 
@@ -226,6 +286,12 @@ def basis_for_atoms(
                 # eigenproblem), so the shared shell norm suffices.
                 shells.append(Shell(tuple(xyz), 2, exps,
                                     tuple(r[1] for r in rows), atom_idx))
+            elif label == "D5":
+                # Spherical (real solid harmonic) 5d: assembled Cartesian,
+                # transformed in compute_integrals_ao.
+                shells.append(Shell(tuple(xyz), 2, exps,
+                                    tuple(r[1] for r in rows), atom_idx,
+                                    pure=True))
             else:
                 raise ValueError(label)
     return shells

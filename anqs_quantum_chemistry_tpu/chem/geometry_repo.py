@@ -66,10 +66,16 @@ GEOMETRIES: Dict[str, Geometry] = {
     ],
     "Li": [("Li", (0.0, 0.0, 0.0))],
     "O": [("O", (0.0, 0.0, 0.0))],
+    # Cr2 (the reference's custom-SV-basis application, run_pyscf.py:26-106);
+    # experimental equilibrium bond length 1.6788 A.
+    "Cr": [("Cr", (0.0, 0.0, 0.0))],
+    "Cr2": [("Cr", (0.0, 0.0, 0.0)), ("Cr", (0.0, 0.0, 1.6788))],
 }
 
 MULTIPLICITIES: Dict[str, int] = {name: 1 for name in GEOMETRIES}
-MULTIPLICITIES.update({"OH": 2, "NH2": 2, "Li": 2, "O2": 3, "O": 3})
+MULTIPLICITIES.update(
+    {"OH": 2, "NH2": 2, "Li": 2, "O2": 3, "O": 3, "Cr": 7}
+)
 
 
 def linear_geometry(name: str, bond_length: float) -> Geometry:

@@ -402,4 +402,51 @@ def compute_integrals_ao(
                             d0 : d0 + sd_,
                         ] = perm_blk
 
+    t = _pure_transform(data)
+    if t is not None:
+        s_mat = t.T @ s_mat @ t
+        t_mat = t.T @ t_mat @ t
+        v_mat = t.T @ v_mat @ t
+        eri = np.einsum(
+            "pqrs,pi,qj,rk,sl->ijkl", eri, t, t, t, t, optimize=True
+        )
     return {"S": s_mat, "T": t_mat, "V": v_mat, "ERI": eri}
+
+
+# Real-solid-harmonic d combination in the cartesian_powers() order
+# [xx, xy, xz, yy, yz, zz]; columns m = (-2, -1, 0, +1, +2). The shells
+# share one norm constant across Cartesian components (_BasisData), so the
+# raw solid-harmonic coefficients apply directly; per-column scaling is
+# absorbed by the generalized eigenproblem in SCF.
+_PURE_D = np.array(
+    [
+        [0.0, 0.0, -0.5, 0.0, math.sqrt(3.0) / 2.0],  # xx
+        [1.0, 0.0, 0.0, 0.0, 0.0],  # xy
+        [0.0, 0.0, 0.0, 1.0, 0.0],  # xz
+        [0.0, 0.0, -0.5, 0.0, -math.sqrt(3.0) / 2.0],  # yy
+        [0.0, 1.0, 0.0, 0.0, 0.0],  # yz
+        [0.0, 0.0, 1.0, 0.0, 0.0],  # zz
+    ]
+)
+
+
+def _pure_transform(data: "_BasisData"):
+    """Block-diagonal Cartesian->final AO transform, or None if no shell
+    is spherical. Identity blocks for Cartesian shells, the 6->5 solid-
+    harmonic block for pure d shells."""
+    if not any(s.pure for s in data.shells):
+        return None
+    n_final = sum(s.n_final for s in data.shells)
+    t = np.zeros((data.n_ao, n_final))
+    col = 0
+    for i, s in enumerate(data.shells):
+        off = data.ao_offsets[i]
+        if s.pure:
+            assert s.angmom == 2, "only pure d implemented"
+            t[off : off + 6, col : col + 5] = _PURE_D
+            col += 5
+        else:
+            n = s.n_functions
+            t[off : off + n, col : col + n] = np.eye(n)
+            col += n
+    return t

@@ -241,3 +241,58 @@ def test_rohf_open_shell():
         assert e_fci <= e_cisd + 1e-9 <= mol.hf_energy + 2e-9
         # Correlation energy is small but nonzero for these systems.
         assert 1e-5 < mol.hf_energy - e_fci < 0.5
+
+
+def test_spherical_d_transform():
+    """Pure (spherical-harmonic) d shells: for a single-primitive d shell
+    on one center the 5 solid harmonics are mutually orthogonal with the
+    analytic diagonal-overlap ratios [1, 1, 3, 1, 3] (in the shared-
+    shell-norm convention); needed for the reference's SPHERICAL Cr
+    SV/vdz basis (reference run_pyscf.py:26-106)."""
+    from anqs_quantum_chemistry_tpu.chem.basis import Shell
+    from anqs_quantum_chemistry_tpu.chem.integrals import (
+        compute_integrals_ao,
+    )
+
+    atoms = [("O", (0.0, 0.0, 0.0))]
+    sh = [Shell((0.0, 0.0, 0.0), 2, (0.8,), (1.0,), 0, pure=True)]
+    s = compute_integrals_ao(atoms, sh)["S"]
+    assert s.shape == (5, 5)
+    off = s - np.diag(np.diag(s))
+    np.testing.assert_allclose(off, 0.0, atol=1e-12)
+    d = np.diag(s)
+    np.testing.assert_allclose(
+        d / d[0], [1.0, 1.0, 3.0, 1.0, 3.0], rtol=1e-10
+    )
+
+
+def test_cr_sv_basis_structure():
+    """The embedded Cr SV basis reproduces the reference's
+    (14s,8p,5d) -> [5s,2p,2d] spherical contraction: 21 AOs, and the
+    cached Cr atom ROHF (multiplicity 7, 3d^5 4s^1) sits in the expected
+    window just above the known ROHF limit (-1043.356 Ha)."""
+    import os
+
+    from anqs_quantum_chemistry_tpu.chem.basis import basis_for_atoms
+    from anqs_quantum_chemistry_tpu.chem.geometry_repo import (
+        GEOMETRIES, geometry_bohr,
+    )
+
+    shells = basis_for_atoms(geometry_bohr(GEOMETRIES["Cr"]), "sv")
+    assert len(shells) == 9
+    assert sum(s.n_final for s in shells) == 21
+    assert [s.angmom for s in shells] == [0] * 5 + [1] * 2 + [2] * 2
+    assert all(s.pure for s in shells if s.angmom == 2)
+
+    # The full Cr/SV ROHF runs ~2.5 min (integral build); assert from the
+    # committed molecule cache rather than rebuilding in-suite.
+    import glob
+
+    import numpy as np_
+
+    caches = glob.glob("mols/Cr/*.npz")
+    if caches:
+        d = np_.load(caches[0], allow_pickle=True)
+        e = float(d["hf_energy"])
+        assert -1043.36 < e < -1042.5, e
+        assert int(d["n_alpha"]) - int(d["n_beta"]) == 6
