@@ -1012,6 +1012,7 @@ class VMC:
         resume_from: Optional[str] = None,
         profile_iters: Optional[tuple] = None,
         steps_per_call: int = 1,
+        init_params=None,
     ):
         """Full training loop with CSV metrics; returns final state+history.
 
@@ -1027,6 +1028,11 @@ class VMC:
             )
         else:
             params, opt_state, key = self.init_state()
+            if init_params is not None:
+                # Externally supplied warm start (e.g. CISD pretraining,
+                # optim/pretrain.py); fresh optimizer state.
+                params = init_params
+                opt_state = self.opt.init(params)
         history = []
         csv_path = (
             os.path.join(self.run_dir, "result.csv") if self.run_dir else None
