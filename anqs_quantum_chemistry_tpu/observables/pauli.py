@@ -115,6 +115,13 @@ class PauliEngine:
         # Extra log2 bucket-count bits for the hash builds (escalation
         # hook for bucket overflow; 0 = the default ~25%-load sizing).
         hash_extra_bits: int = 0,
+        # Entries per hash bucket (W <= 2 only; None = 32). Smaller rows
+        # cut BOTH the per-query gather width and the compare-pass bytes
+        # ~proportionally (the lookup is gather-issue + vector-pass
+        # bound); epb=8 uses 32-lane rows at the same ~25% load (more,
+        # smaller buckets) with a slightly fatter Poisson overflow tail --
+        # which the driver's overflow policy escalates away.
+        hash_epb: Optional[int] = None,
     ):
         self.qubit_num = ham.qubit_num
         self.constant = float(ham.constant)
@@ -150,6 +157,9 @@ class PauliEngine:
         self.dist_entry_slack = dist_entry_slack
         self.dist_query_slack = dist_query_slack
         self.hash_extra_bits = hash_extra_bits
+        if hash_epb is not None:
+            assert words <= 2 and hash_epb in (8, 16, 32)
+        self.hash_epb = hash_epb
         if membership == "prefilter":
             assert words <= 4, "prefilter supports <= 128 qubits"
 
@@ -580,7 +590,11 @@ class PauliEngine:
             for i in range(w)
         )
         shape = xp_cols[0].shape
-        if self.lookup_kernel == "pallas" and w <= 2:
+        if (
+            self.lookup_kernel == "pallas"
+            and w <= 2
+            and (self.hash_epb or 32) == 32
+        ):
             from ..ops.pallas_kernels import hash_lookup
 
             xp_lo, xp_hi = self._padded_cols(xp_cols)
@@ -640,11 +654,12 @@ class PauliEngine:
         """
         b, w = words.shape
         assert w <= 4, "hash membership supports <= 128 qubits"
-        # W <= 2: 32 entries/bucket, fields at lanes 0/32/64/96 (the layout
-        # the Pallas kernel reads). W in (3, 4): 16 entries/bucket, W key
-        # fields + (la, ph) at 16-lane strides within the same 128-lane
-        # row; the nb formula keeps the ~25% average load either way.
-        epb = 32 if w <= 2 else 16
+        # Default layout -- W <= 2: 32 entries/bucket, fields at lanes
+        # 0/32/64/96 (what the Pallas kernel reads). W in (3, 4): 16
+        # entries/bucket at 16-lane strides. ``hash_epb`` shrinks the
+        # rows (8 entries -> 32-lane rows) to cut gather width and
+        # compare-pass bytes; the nb formula keeps ~25% load either way.
+        epb = self.hash_epb or (32 if w <= 2 else 16)
         nk = max(w, 2)  # stored key fields (1-word keys pad hi = 0)
         nb = 1 << (
             max(8, (4 * b // epb - 1).bit_length()) + self.hash_extra_bits
@@ -677,7 +692,7 @@ class PauliEngine:
         # Key lanes read as f32 bitcasts; emptiness is signaled by
         # log_abs == NEG (a stored key lane of zeros cannot false-positive
         # because its la lane stays NEG).
-        tab = jnp.full((nb, 128), neg, dtype=jnp.float32)
+        tab = jnp.full((nb, (nk + 2) * epb), neg, dtype=jnp.float32)
         row_i = jnp.where(valid & ~overflow, bucket, nb)
         for i, c in enumerate(cols):
             tab = tab.at[row_i, lane + i * epb].set(
@@ -701,7 +716,7 @@ class PauliEngine:
         compares."""
         neg = jnp.float32(-1e30)
         w = len(q_cols)
-        epb = 32 if w <= 2 else 16
+        epb = self.hash_epb or (32 if w <= 2 else 16)
         nk = max(w, 2)
 
         def lookup(*qs):
@@ -766,7 +781,7 @@ class PauliEngine:
         m = self.n_groups
         assert w <= 4, "prefilter supports <= 128 qubits"
         neg = jnp.float32(-1e30)
-        epb = 32 if w <= 2 else 16
+        epb = self.hash_epb or (32 if w <= 2 else 16)
         c_row = min(self.prefilter_row_capacity, m)
         r_cap = self.prefilter_dense_rows
 

@@ -32,19 +32,25 @@ class SRConfig:
 
 
 def _per_sample_jacobians(anqs, params, words):
-    """(k, P) jacobians of log|psi| and phase w.r.t. flattened params."""
+    """(k, P) jacobians of log|psi| and phase w.r.t. flattened params.
+
+    One vjp per row with two pullbacks (la and ph cotangents) shares the
+    forward pass between the two jacobians."""
     flat, unravel = ravel_pytree(params)
+    one = jnp.ones((), jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
 
-    def la_of(p_flat, w):
-        la, _ = anqs.log_psi(unravel(p_flat), w[None])
-        return la[0]
+    def row(w):
+        def both(p_flat):
+            la, ph = anqs.log_psi(unravel(p_flat), w[None])
+            return la[0], ph[0]
 
-    def ph_of(p_flat, w):
-        _, ph = anqs.log_psi(unravel(p_flat), w[None])
-        return ph[0]
+        _, pull = jax.vjp(both, flat)
+        (j_la,) = pull((one, zero))
+        (j_ph,) = pull((zero, one))
+        return j_la, j_ph
 
-    j_la = jax.vmap(jax.grad(la_of), in_axes=(None, 0))(flat, words)
-    j_ph = jax.vmap(jax.grad(ph_of), in_axes=(None, 0))(flat, words)
+    j_la, j_ph = jax.vmap(row)(words)
     return j_la, j_ph, flat, unravel
 
 
@@ -87,12 +93,38 @@ def sr_transform(
     return unravel(new_flat)
 
 
-def _solve_prescaled(m, d, rhs):
-    """Jacobi-prescaled f32 solve of the SPD ``m`` with one iterative-
-    refinement step (halves the f32 LU's worst-case relative error; the
-    extra k x k solve is negligible at k <= 50)."""
+def _solve_prescaled(m, d, rhs, cg_iters: int = 100):
+    """Jacobi-prescaled solve of the SPD ``m`` by fixed-iteration
+    conjugate gradients plus one iterative-refinement step.
+
+    CG instead of LU because TPU LU/Cholesky factorizations of even a
+    100 x 100 block are SEQUENTIAL (O(k) dependent pivot steps -- several
+    ms inside the jitted train step), while CG is pure fused vector work
+    (matvec + dots per iteration, ~microseconds each under jit). With the
+    Jacobi prescaling the spectrum is tight and 100 iterations reach f32
+    roundoff on every case in the accuracy suite
+    (tests/test_sr_accuracy.py, incl. near-singular Gram matrices)."""
+    ms = m * d[:, None] * d[None, :]
+
+    def cg(b):
+        def body(carry, _):
+            x, r, p, rs = carry
+            mp = ms @ p
+            alpha = rs / jnp.maximum(p @ mp, 1e-30)
+            x = x + alpha * p
+            r = r - alpha * mp
+            rs_new = r @ r
+            p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
+            return (x, r, p, rs_new), None
+
+        x0 = jnp.zeros_like(b)
+        (x, _, _, _), _ = jax.lax.scan(
+            body, (x0, b, b, b @ b), None, length=cg_iters
+        )
+        return x
+
     def solve(v):
-        return d * jnp.linalg.solve(m * d[:, None] * d[None, :], d * v)
+        return d * cg(d * v)
 
     x = solve(rhs)
     return x + solve(rhs - m @ x)

@@ -49,6 +49,13 @@ def main():
         ("table nochunk", dict(membership="table", lookup_chunk=None)),
         ("hash xla", dict(membership="hash")),
         ("hash xla nochunk", dict(membership="hash", lookup_chunk=None)),
+        ("hash epb16", dict(membership="hash", hash_epb=16)),
+        ("hash epb8", dict(membership="hash", hash_epb=8)),
+        ("hash epb8 xbits", dict(membership="hash", hash_epb=8,
+                                 hash_extra_bits=1)),
+        ("pf epb8 cap160", dict(membership="prefilter", hash_epb=8,
+                                prefilter_row_capacity=160,
+                                prefilter_dense_rows=512)),
         ("hash pallas", dict(membership="hash", lookup_kernel="pallas")),
         ("prefilter", dict(membership="prefilter")),
         ("search", dict(membership="search")),
