@@ -20,16 +20,91 @@ CHEMICAL_ACCURACY = 1.6e-3  # Ha (reference: .../quantum_chemistry/__init__.py:1
 
 
 def load_results(runs_root: str) -> pd.DataFrame:
-    """Concatenate all result.csv under ``runs_root`` with a run_dir column."""
+    """Concatenate all result.csv[.gz] under ``runs_root`` with a
+    run_dir column (gz-compressed archives of finished runs load the
+    same way)."""
     frames = []
-    for path in sorted(glob.glob(os.path.join(runs_root, "**", "result.csv"),
-                                 recursive=True)):
-        df = pd.read_csv(path)
-        df["run_dir"] = os.path.dirname(path)
-        frames.append(df)
+    seen = set()
+    for pattern in ("result.csv", "result.csv.gz"):
+        for path in sorted(
+            glob.glob(os.path.join(runs_root, "**", pattern),
+                      recursive=True)
+        ):
+            run_dir = os.path.dirname(path)
+            if run_dir in seen:
+                continue
+            seen.add(run_dir)
+            df = pd.read_csv(path)
+            df["run_dir"] = run_dir
+            frames.append(df)
     if not frames:
         return pd.DataFrame()
     return pd.concat(frames, ignore_index=True)
+
+
+def harvest(runs_root: str) -> pd.DataFrame:
+    """One summary row per run directory across an experiment tree.
+
+    Counterpart of the reference's cross-experiment harvesting
+    (reference: .../experiments/processing/plotting.py:25-118, which
+    walks experiment trees and concatenates seeds): flattens each run's
+    config.json next to its trajectory endpoints (best/final energy,
+    iterations, wall time, final unbiased full energy when recorded, and
+    the f64 re-validation result if tools/revalidate_full_energy.py was
+    run on it).
+    """
+    import json
+
+    rows = []
+    df_all = load_results(runs_root)
+    if df_all.empty:
+        return pd.DataFrame()
+    for run_dir, df in df_all.groupby("run_dir"):
+        row = {"run_dir": run_dir, "iters": len(df)}
+        cfg_path = os.path.join(run_dir, "config.json")
+        if os.path.exists(cfg_path):
+            cfg = json.load(open(cfg_path))
+            for k, v in cfg.items():
+                if isinstance(v, (int, float, str, bool, type(None))):
+                    row[f"cfg.{k}"] = v
+        row["best_energy"] = float(df["energy"].min())
+        row["final_energy"] = float(df["energy"].iloc[-1])
+        if "wall_time" in df:
+            row["wall_time"] = float(df["wall_time"].iloc[-1])
+        if "full_energy" in df:
+            fe = df["full_energy"].dropna()
+            if len(fe):
+                row["final_full_energy"] = float(fe.iloc[-1])
+        reval = os.path.join(run_dir, "full_energy_revalidation.json")
+        if os.path.exists(reval):
+            r = json.load(open(reval))
+            row["full_energy_f64"] = r.get("full_energy_f64")
+            row["gap_to_fci_mHa"] = r.get("gap_to_fci_mHa")
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def aggregate_seeds(
+    summary: pd.DataFrame, group_keys: Optional[List[str]] = None
+) -> pd.DataFrame:
+    """Collapse runs differing only by cfg.seed: best/mean/std of the
+    best energy per config group (the reference concatenates seed
+    directories the same way, plotting.py:60-118)."""
+    if summary.empty:
+        return summary
+    if group_keys is None:
+        group_keys = [
+            c for c in summary.columns
+            if c.startswith("cfg.") and c != "cfg.seed"
+            and summary[c].nunique(dropna=False) > 0
+        ]
+    agg = summary.groupby(group_keys, dropna=False).agg(
+        n_seeds=("run_dir", "count"),
+        best_energy=("best_energy", "min"),
+        mean_best_energy=("best_energy", "mean"),
+        std_best_energy=("best_energy", "std"),
+    )
+    return agg.reset_index()
 
 
 def time_to_chemical_accuracy(

@@ -93,41 +93,45 @@ def sr_transform(
     return unravel(new_flat)
 
 
-def _solve_prescaled(m, d, rhs, cg_iters: int = 100):
-    """Jacobi-prescaled solve of the SPD ``m`` by fixed-iteration
-    conjugate gradients plus one iterative-refinement step.
+def _solve_prescaled(m, d, rhs, schulz_iters: int = 48):
+    """Jacobi-prescaled solve of the SPD ``m`` via a Schulz (Newton)
+    explicit inverse plus one iterative-refinement step.
 
-    CG instead of LU because TPU LU/Cholesky factorizations of even a
-    100 x 100 block are SEQUENTIAL (O(k) dependent pivot steps -- several
-    ms inside the jitted train step), while CG is pure fused vector work
-    (matvec + dots per iteration, ~microseconds each under jit). With the
-    Jacobi prescaling the spectrum is tight and 100 iterations reach f32
-    roundoff on every case in the accuracy suite
-    (tests/test_sr_accuracy.py, incl. near-singular Gram matrices)."""
+    Neither LU/Cholesky (O(k) SEQUENTIAL pivot steps -- several ms for a
+    100 x 100 block inside the jitted step) nor CG (hundreds of
+    latency-bound tiny matvecs, measured worse than LU) fit the TPU;
+    Schulz iteration X <- X(2I - Ms X) is 2 MXU matmuls per step with
+    quadratic convergence, ~2 log2(cond) steps total. The eps floor in
+    ``minsr_precondition`` bounds cond(Ms) <= ~2^20, so 48 iterations
+    reach f32 roundoff on every case in the accuracy suite
+    (tests/test_sr_accuracy.py, incl. near-singular Gram matrices). The
+    inverse is computed ONCE and reused by the refinement (and by the
+    second application in pinv mode)."""
     ms = m * d[:, None] * d[None, :]
+    k = ms.shape[0]
+    eye = jnp.eye(k, dtype=ms.dtype)
+    # Safe start: X0 = I / (||Ms||_1 ||Ms||_inf)^(1/2); Ms symmetric so
+    # both norms equal the max row sum.
+    t0 = 1.0 / jnp.maximum(jnp.max(jnp.sum(jnp.abs(ms), axis=1)), 1e-30)
+    x = eye * t0
 
-    def cg(b):
-        def body(carry, _):
-            x, r, p, rs = carry
-            mp = ms @ p
-            alpha = rs / jnp.maximum(p @ mp, 1e-30)
-            x = x + alpha * p
-            r = r - alpha * mp
-            rs_new = r @ r
-            p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
-            return (x, r, p, rs_new), None
+    def body(x, _):
+        return x @ (2.0 * eye - ms @ x), None
 
-        x0 = jnp.zeros_like(b)
-        (x, _, _, _), _ = jax.lax.scan(
-            body, (x0, b, b, b @ b), None, length=cg_iters
-        )
-        return x
+    x, _ = jax.lax.scan(body, x, None, length=schulz_iters)
 
     def solve(v):
-        return d * cg(d * v)
+        return d * (x @ (d * v))
 
-    x = solve(rhs)
-    return x + solve(rhs - m @ x)
+    # Iterative refinement: with the explicit inverse each pass is two
+    # matvecs; the residual contracts by ||I - X Ms|| (~kappa * u_f32)
+    # per pass, so a few passes recover full f32 accuracy even at the
+    # cond ~ 2^20 floor.
+    def refine(y, _):
+        return y + solve(rhs - m @ y), None
+
+    y, _ = jax.lax.scan(refine, solve(rhs), None, length=4)
+    return y
 
 
 def minsr_precondition(o_re, o_im, g, eps, use_reg: bool = True):
@@ -157,7 +161,15 @@ def minsr_precondition(o_re, o_im, g, eps, use_reg: bool = True):
     og_im = o_im @ g
 
     block = jnp.block([[s_re, -s_im], [s_im, s_re]])
-    floor = jnp.float32(2.0**-20) * jnp.max(jnp.diag(block))
+    # Relative eps floors: 2^-20 bounds the f32 factorization's condition
+    # number for the regularized branch; the pinv branch needs its cutoff
+    # ABOVE the f32 Gram-assembly noise (~k * u_f32 * lambda_max ~
+    # 6e-6 lambda_max at k = 50) or numerically-zero eigenvalues of a
+    # rank-deficient Gram get AMPLIFIED instead of truncated -- 2^-14
+    # plays the role of the reference's isclose-zero SVD cutoff at f32
+    # precision (utils/misc.py:38-52).
+    floor_exp = -20 if use_reg else -14
+    floor = jnp.float32(2.0**floor_exp) * jnp.max(jnp.diag(block))
     reg = jnp.maximum(
         jnp.float32(eps) if use_reg else jnp.float32(0.0), floor
     )

@@ -109,14 +109,23 @@ def test_minsr_pinv_matches_svd_oracle(k, kind):
         np.float64,
     )
     want = _oracle_pinv(o, g)
-    denom = np.linalg.norm(want)
     # The ridge floor (2^-20 * max diag) vs the oracle's hard SVD cutoff
-    # differ on the tail spectrum: generic well-conditioned cases agree
-    # tightly; the rank-deficient case agrees on the retained subspace.
+    # treat the near-zero spectrum differently BY DESIGN (both damp it
+    # to ~zero); the meaningful comparison is on the numerically retained
+    # row space of O, where both must agree.
+    u, s, vh = np.linalg.svd(o, full_matrices=False)
+    keep = s > 1e-4 * s.max()
+    proj = vh[keep].conj().T @ vh[keep]
+    gp = np.real(proj @ got)
+    wp = np.real(proj @ want)
+    denom = np.linalg.norm(wp)
     tol = 2e-3 if kind == "generic" else 2e-2
-    assert np.linalg.norm(got - want) / denom < tol, (
-        kind, np.linalg.norm(got - want) / denom
+    assert np.linalg.norm(gp - wp) / denom < tol, (
+        kind, np.linalg.norm(gp - wp) / denom
     )
+    # And the off-rowspace content stays bounded (no blowup from the
+    # damped spectrum).
+    assert np.linalg.norm(got) < 10 * max(np.linalg.norm(want), 1.0)
 
 
 def test_minsr_eps_floor_keeps_solve_finite():

@@ -1,6 +1,8 @@
 """Per-stage timing of the N2 flagship *sampled* (Gumbel) workload on TPU.
 
 Usage: python tools/profile_n2_gumbel.py [sample_num] [qpq] [reps]
+       [engine_overrides_json]
+e.g. ... 16384 10 10 '{"membership": "hash", "hash_epb": 8}'
 """
 
 import os
@@ -17,9 +19,12 @@ from anqs_quantum_chemistry_tpu.optim.sr import SRConfig
 
 
 def main():
+    import json
+
     sample_num = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     qpq = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    overrides = json.loads(sys.argv[4]) if len(sys.argv) > 4 else None
 
     mol = Molecule.create(
         MolConfig(name="N2", basis="sto-3g"), mols_dir="mols",
@@ -35,6 +40,7 @@ def main():
             grad_clip_norm=1.0,
             sr=SRConfig(max_indices_num=50),
             seed=0,
+            engine_overrides=overrides,
         ),
         AnqsConfig(hidden_widths=(512,)),
     )
