@@ -122,6 +122,12 @@ class PauliEngine:
         # smaller buckets) with a slightly fatter Poisson overflow tail --
         # which the driver's overflow policy escalates away.
         hash_epb: Optional[int] = None,
+        # Direct-address table row width, in (la, ph) pairs. 64 = the
+        # 128-lane interleaved layout (one row gather + two one-hot lane
+        # selects). 1 = a (2^n, 2) layout: row gathers are flat-cost for
+        # 8..128 lanes (DESIGN_NOTES), and one (q, 2) gather needs NO
+        # lane-select passes at all.
+        table_pairs_per_row: int = 64,
     ):
         self.qubit_num = ham.qubit_num
         self.constant = float(ham.constant)
@@ -160,6 +166,8 @@ class PauliEngine:
         if hash_epb is not None:
             assert words <= 2 and hash_epb in (8, 16, 32)
         self.hash_epb = hash_epb
+        assert table_pairs_per_row in (1, 64)
+        self.table_pairs_per_row = table_pairs_per_row
         if membership == "prefilter":
             assert words <= 4, "prefilter supports <= 128 qubits"
 
@@ -509,8 +517,10 @@ class PauliEngine:
         """
         n = self.qubit_num
         size = 1 << n
-        n_rows = max(size >> 6, 1)
         neg = jnp.float32(-1e30)
+        if self.table_pairs_per_row == 1:
+            return self._proxy_via_table2(words, log_abs, phase, valid)
+        n_rows = max(size >> 6, 1)
         lane = jnp.arange(128, dtype=jnp.int32)
         # Even lanes hold log|psi| (fill NEG = absent), odd lanes phase.
         tab = jnp.broadcast_to(
@@ -541,6 +551,40 @@ class PauliEngine:
                 jnp.sum(rows_g * sel_la, axis=-1),
                 jnp.sum(rows_g * sel_ph, axis=-1),
             )
+
+        la_p, ph_p = self._chunked_queries(lookup, (xp_keys.reshape(-1),))
+        la_p = la_p.reshape(xp_keys.shape)
+        ph_p = ph_p.reshape(xp_keys.shape)
+        found = (la_p > 0.5 * neg) & valid[:, None]
+
+        me = self.matrix_elements(words)
+        return self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
+
+    def _proxy_via_table2(self, words, log_abs, phase, valid):
+        """Direct-address membership with a (2^n, 2) table: one (q, 2)
+        row gather per query and NO lane-select passes (row gathers are
+        flat-cost in width, so the 128-lane interleaved layout's two
+        one-hot select passes over (Q, 128) intermediates are pure
+        overhead)."""
+        n = self.qubit_num
+        size = 1 << n
+        neg = jnp.float32(-1e30)
+        keys_flat = words[:, 0]
+        safe = valid & (keys_flat < jnp.uint32(size))
+        kf = jnp.where(safe, keys_flat.astype(jnp.int32), size)
+        tab = jnp.full((size, 2), neg, dtype=jnp.float32)
+        tab = tab.at[kf, 0].set(jnp.where(safe, log_abs, neg), mode="drop")
+        tab = tab.at[kf, 1].set(phase, mode="drop")
+
+        xp_keys = (
+            words[:, 0][:, None] ^ self.a_words[:, 0][None, :]
+        )  # (B, M)
+
+        def lookup(q):
+            qi = jnp.where(q < jnp.uint32(size), q.astype(jnp.int32), 0)
+            rows_g = tab[qi]  # (chunk, 2)
+            la = jnp.where(q < jnp.uint32(size), rows_g[..., 0], neg)
+            return la, rows_g[..., 1]
 
         la_p, ph_p = self._chunked_queries(lookup, (xp_keys.reshape(-1),))
         la_p = la_p.reshape(xp_keys.shape)

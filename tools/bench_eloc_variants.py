@@ -49,6 +49,7 @@ def main():
         ("table nochunk", dict(membership="table", lookup_chunk=None)),
         ("hash xla", dict(membership="hash")),
         ("hash xla nochunk", dict(membership="hash", lookup_chunk=None)),
+        ("table2", dict(membership="table", table_pairs_per_row=1)),
         ("hash epb16", dict(membership="hash", hash_epb=16)),
         ("hash epb8", dict(membership="hash", hash_epb=8)),
         ("hash epb8 xbits", dict(membership="hash", hash_epb=8,
