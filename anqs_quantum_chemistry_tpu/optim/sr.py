@@ -110,25 +110,33 @@ def _solve_prescaled(m, d, rhs, schulz_iters: int = 48):
     ms = m * d[:, None] * d[None, :]
     k = ms.shape[0]
     eye = jnp.eye(k, dtype=ms.dtype)
+
+    # TPU default matmul precision multiplies f32 operands in bf16; a
+    # ~0.4%-error inverse makes the refinement loop DIVERGE whenever
+    # cond * error > 1 (NaN params observed on the Li2O run). These are
+    # k x k matmuls -- HIGHEST costs nothing here.
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
     # Safe start: X0 = I / (||Ms||_1 ||Ms||_inf)^(1/2); Ms symmetric so
     # both norms equal the max row sum.
     t0 = 1.0 / jnp.maximum(jnp.max(jnp.sum(jnp.abs(ms), axis=1)), 1e-30)
     x = eye * t0
 
     def body(x, _):
-        return x @ (2.0 * eye - ms @ x), None
+        return mm(x, 2.0 * eye - mm(ms, x)), None
 
     x, _ = jax.lax.scan(body, x, None, length=schulz_iters)
 
     def solve(v):
-        return d * (x @ (d * v))
+        return d * mm(x, (d * v)[:, None])[:, 0]
 
     # Iterative refinement: with the explicit inverse each pass is two
     # matvecs; the residual contracts by ||I - X Ms|| (~kappa * u_f32)
     # per pass, so a few passes recover full f32 accuracy even at the
     # cond ~ 2^20 floor.
     def refine(y, _):
-        return y + solve(rhs - m @ y), None
+        return y + solve(rhs - mm(m, y[:, None])[:, 0]), None
 
     y, _ = jax.lax.scan(refine, solve(rhs), None, length=4)
     return y
@@ -155,10 +163,15 @@ def minsr_precondition(o_re, o_im, g, eps, use_reg: bool = True):
     validated against an f64 oracle in tests/test_sr_accuracy.py).
     """
     k = o_re.shape[0]
-    s_re = o_re @ o_re.T + o_im @ o_im.T
-    s_im = o_im @ o_re.T - o_re @ o_im.T
-    og_re = o_re @ g
-    og_im = o_im @ g
+    hi = jax.lax.Precision.HIGHEST  # bf16 Gram error feeds the solve
+    s_re = jnp.matmul(o_re, o_re.T, precision=hi) + jnp.matmul(
+        o_im, o_im.T, precision=hi
+    )
+    s_im = jnp.matmul(o_im, o_re.T, precision=hi) - jnp.matmul(
+        o_re, o_im.T, precision=hi
+    )
+    og_re = jnp.matmul(o_re, g, precision=hi)
+    og_im = jnp.matmul(o_im, g, precision=hi)
 
     block = jnp.block([[s_re, -s_im], [s_im, s_re]])
     # Relative eps floors: 2^-20 bounds the f32 factorization's condition
