@@ -1092,7 +1092,6 @@ class VMC:
                 )
             if on_iter is not None:
                 on_iter(it, row)
-            self._handle_overflow(row)
 
         period = self.config.full_energy_period
 
@@ -1135,6 +1134,14 @@ class VMC:
                 self._adapt_budget(
                     eff_cfg, stacked["unique_num"][-1]
                 )
+                # Overflow policy acts ONCE per dispatch window, on its
+                # last row: every row of the window came from the same
+                # engine, so escalating per row would burn the whole
+                # escalation budget on stale metrics.
+                self._handle_overflow(
+                    {k: float(v[-1]) for k, v in stacked.items()}
+                    | {"iter_idx": it + k_steps - 1}
+                )
                 it += k_steps
             else:
                 params_prev = params
@@ -1158,6 +1165,7 @@ class VMC:
                     row["full_energy_var"] = float(fe_var)
                 handle_row(it, row, params, opt_state, key)
                 self._adapt_budget(eff_cfg, row["unique_num"])
+                self._handle_overflow({**row, "iter_idx": it})
                 it += 1
             if profile_iters and it > profile_iters[1] and self.run_dir:
                 jax.block_until_ready(params)

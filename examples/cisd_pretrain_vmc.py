@@ -105,7 +105,14 @@ def main():
             lr_schedule=((0, 3e-4), (1500, 1e-4), (3000, 3e-5)),
             grad_clip_norm=0.5,
             sr=SRConfig(max_indices_num=50),
-            couple_ref_dets=2048,
+            # No HF-neighborhood pinning: the CISD-pretrained sample set
+            # is densely self-connected (every pair of CISD support dets
+            # is within 4 excitations), which is also why the prefilter
+            # needs dense-regime capacities here.
+            engine_overrides={
+                "prefilter_row_capacity": 768,
+                "prefilter_dense_rows": 4096,
+            },
             full_energy_period=500,
             seed=0,
             iter_num=iters,
