@@ -379,10 +379,17 @@ class VMC:
         else:
             lr = cfg.lr
         if cfg.opt_type == "adam":
-            return optax.adam(lr)
-        if cfg.opt_type == "sgd":
-            return optax.sgd(lr)
-        raise ValueError(cfg.opt_type)
+            base = optax.adam(lr)
+        elif cfg.opt_type == "sgd":
+            base = optax.sgd(lr)
+        else:
+            raise ValueError(cfg.opt_type)
+        # Skip (don't apply) non-finite updates: a rare numerically bad
+        # step (e.g. an SR solve on a freak Gram spectrum) must not
+        # destroy the parameters; 100 consecutive bad steps still abort
+        # the run through the NaN metrics. Matches production practice;
+        # the reference's eager loop would simply crash here.
+        return optax.apply_if_finite(base, max_consecutive_errors=100)
 
     def _schedules(self):
         """The three config schedules as utils.config.Schedule objects
@@ -994,7 +1001,23 @@ class VMC:
             "iter": jnp.asarray(0),
         }
         with ocp.StandardCheckpointer() as ckptr:
-            state = ckptr.restore(os.path.abspath(path), template)
+            try:
+                state = ckptr.restore(os.path.abspath(path), template)
+            except Exception:
+                # Optimizer-state structure changed across versions (e.g.
+                # the apply_if_finite wrapper): restore params/key/iter
+                # and start the optimizer fresh.
+                state = ckptr.restore(
+                    os.path.abspath(path),
+                    {
+                        "params": params,
+                        "key": key,
+                        "iter": jnp.asarray(0),
+                    },
+                )
+                state = {**state, "opt_state": self.opt.init(
+                    state["params"]
+                )}
         return (
             state["params"],
             state["opt_state"],

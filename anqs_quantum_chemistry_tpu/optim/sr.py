@@ -93,20 +93,30 @@ def sr_transform(
     return unravel(new_flat)
 
 
-def _solve_prescaled(m, d, rhs, schulz_iters: int = 48):
-    """Jacobi-prescaled solve of the SPD ``m`` via a Schulz (Newton)
-    explicit inverse plus one iterative-refinement step.
+def _solve_prescaled(m, d, rhs, schulz_iters: int = 30,
+                     refine_iters: int = 14):
+    """Jacobi-prescaled solve of the SPD ``m``: a TRUNCATED Schulz
+    (Newton) approximate inverse + Richardson refinement.
 
     Neither LU/Cholesky (O(k) SEQUENTIAL pivot steps -- several ms for a
     100 x 100 block inside the jitted step) nor CG (hundreds of
     latency-bound tiny matvecs, measured worse than LU) fit the TPU;
-    Schulz iteration X <- X(2I - Ms X) is 2 MXU matmuls per step with
-    quadratic convergence, ~2 log2(cond) steps total. The eps floor in
-    ``minsr_precondition`` bounds cond(Ms) <= ~2^20, so 48 iterations
-    reach f32 roundoff on every case in the accuracy suite
-    (tests/test_sr_accuracy.py, incl. near-singular Gram matrices). The
-    inverse is computed ONCE and reused by the refinement (and by the
-    second application in pinv mode)."""
+    Schulz iteration X <- X(2I - Ms X) is 2 MXU matmuls per step.
+
+    Schulz is deliberately STOPPED EARLY: once an eigendirection has
+    converged, every further Newton step SQUARES its (1 + delta)
+    rounding factor -- at 48 iterations (cond ~ 2^21 after the eps
+    floor) that amplification factor reaches e^(2^26 * delta) and the
+    iteration was observed to diverge to NaN on TPU (bit-different CPU
+    rounding survived). The floored spectrum needs ~log2(cond) ~ 21
+    doublings, so 30 iterations leave only ~2^8 post-convergence
+    squarings ((1+1e-7)^256 ~ 1 + 3e-5: harmless) while reaching
+    contraction on the whole spectrum; the refinement loop -- a
+    Richardson iteration with the FROZEN X, which cannot diverge while
+    ||I - X M|| < 1 -- then takes the solution to f32 roundoff.
+    Validated against an f64 oracle incl. near-singular Gram matrices
+    (tests/test_sr_accuracy.py) and on the captured NaN-reproducing
+    Li2O death state (/tmp-archived as a regression array set)."""
     ms = m * d[:, None] * d[None, :]
     k = ms.shape[0]
     eye = jnp.eye(k, dtype=ms.dtype)
@@ -123,22 +133,37 @@ def _solve_prescaled(m, d, rhs, schulz_iters: int = 48):
     t0 = 1.0 / jnp.maximum(jnp.max(jnp.sum(jnp.abs(ms), axis=1)), 1e-30)
     x = eye * t0
 
-    def body(x, _):
-        return mm(x, 2.0 * eye - mm(ms, x)), None
+    # Monotone-residual acceptance: a Newton step is kept only if it
+    # shrinks ||I - Ms X||_F; otherwise the iterate freezes at its best
+    # value. Divergence (rounding factors (1+delta) squaring past the
+    # convergence point -- observed as NaN on TPU at high cond, where
+    # bit-different CPU rounding survived) is thereby impossible, at the
+    # cost of one extra k x k matmul per step. Do NOT symmetrize the
+    # iterate: averaging with X^T breaks Newton-Schulz self-correction
+    # (also measured -- diverges within a few steps).
+    def body(carry, _):
+        x, r_norm = carry
+        x2 = mm(x, 2.0 * eye - mm(ms, x))
+        r2 = eye - mm(ms, x2)
+        r2_norm = jnp.linalg.norm(r2)
+        accept = jnp.isfinite(r2_norm) & (r2_norm < r_norm)
+        return (
+            jnp.where(accept, x2, x),
+            jnp.where(accept, r2_norm, r_norm),
+        ), None
 
-    x, _ = jax.lax.scan(body, x, None, length=schulz_iters)
+    r0 = jnp.linalg.norm(eye - mm(ms, x))
+    (x, _), _ = jax.lax.scan(
+        body, (x, r0), None, length=schulz_iters
+    )
 
     def solve(v):
         return d * mm(x, (d * v)[:, None])[:, 0]
 
-    # Iterative refinement: with the explicit inverse each pass is two
-    # matvecs; the residual contracts by ||I - X Ms|| (~kappa * u_f32)
-    # per pass, so a few passes recover full f32 accuracy even at the
-    # cond ~ 2^20 floor.
     def refine(y, _):
         return y + solve(rhs - mm(m, y[:, None])[:, 0]), None
 
-    y, _ = jax.lax.scan(refine, solve(rhs), None, length=4)
+    y, _ = jax.lax.scan(refine, solve(rhs), None, length=refine_iters)
     return y
 
 

@@ -147,3 +147,30 @@ def test_minsr_eps_floor_keeps_solve_finite():
     )
     assert np.isfinite(got).all()
     assert np.linalg.norm(got) < 1e12
+
+
+def test_schulz_on_captured_li2o_death_state():
+    """Regression: the regularized system captured from the Li2O NADE
+    run that NaN'd on TPU (cond ~ 2^21 from centered near-dependent
+    jacobian rows). The truncated Schulz + Richardson solve must stay
+    finite and match the f64 oracle; the 48-iteration and symmetrized
+    variants both diverged here."""
+    import os
+
+    import jax.numpy as jnp
+
+    from anqs_quantum_chemistry_tpu.optim.sr import _solve_prescaled
+
+    d = np.load(
+        os.path.join(os.path.dirname(__file__), "data",
+                     "sr_death_block.npz")
+    )
+    m = jnp.asarray(d["m"])
+    rhs = jnp.asarray(d["rhs"])
+    dvec = jnp.asarray(
+        1.0 / np.sqrt(np.maximum(np.diag(d["m"]), 1e-30)), jnp.float32
+    )
+    y = np.asarray(_solve_prescaled(m, dvec, rhs), np.float64)
+    assert np.isfinite(y).all()
+    rel = np.linalg.norm(y - d["y64"]) / np.linalg.norm(d["y64"])
+    assert rel < 1e-2, rel

@@ -58,20 +58,32 @@ def main():
         params, opt_state, key = vmc.init_state()
         variant = "scan"
     if variant == "scan":
-        out = vmc._multi_step(25)(params, opt_state, key)
-        stacked = {k: np.asarray(v) for k, v in out[3].items()}
-        for j in range(25):
+        n_win = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+        state = (params, opt_state, key)
+        for w in range(n_win):
+            out = vmc._multi_step(25)(*state)
+            state = out[:3]
+            stacked = {k: np.asarray(v) for k, v in out[3].items()}
+            for j in range(25):
+                print(
+                    f"[scan] row {25 * w + j:3d} "
+                    f"E {stacked['energy'][j]:+.5f} "
+                    f"unique {int(stacked['unique_num'][j])} "
+                    f"gnorm {stacked['grad_norm'][j]:.3e} "
+                    f"la [{stacked['min_log_abs'][j]:+.1f}, "
+                    f"{stacked['max_log_abs'][j]:+.1f}]",
+                    flush=True,
+                )
+            flat, _ = ravel_pytree(out[0])
             print(
-                f"[scan] row {j:3d} E {stacked['energy'][j]:+.5f} "
-                f"unique {int(stacked['unique_num'][j])} "
-                f"gnorm {stacked['grad_norm'][j]:.3e}",
+                f"window {w}: params finite "
+                f"{bool(np.isfinite(np.asarray(flat)).all())}",
                 flush=True,
             )
-        flat, _ = ravel_pytree(out[0])
-        print("params finite", bool(np.isfinite(np.asarray(flat)).all()))
         return
 
-    for it in range(12):
+    import sys as _s; n_it = int(_s.argv[2]) if len(_s.argv) > 2 else 12
+    for it in range(n_it):
         out = vmc._step(params, opt_state, key)
         params, opt_state, key, m = out[:4]
         flat, _ = ravel_pytree(params)
