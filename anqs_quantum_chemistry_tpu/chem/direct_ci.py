@@ -141,6 +141,31 @@ def _occupancy(strs: np.ndarray, n_orb: int) -> np.ndarray:
     ).astype(np.float32)
 
 
+def interleave_parity(
+    str_a: np.ndarray, str_b: np.ndarray, n_orb: int
+) -> np.ndarray:
+    """(S_a, S_b) grid of +-1 relating the two determinant conventions.
+
+    The string basis is alpha creation operators first, then beta; the
+    interleaved spin-orbital basis (chem/fci.py, the JW/ANQS side)
+    applies creators in ascending spin-orbital order.  Reordering moves
+    each beta creator m past every alpha creator k > m, so
+    parity(Ia, Ib) = (-1)^(sum_{m in Ib} #{k in Ia : k > m}).
+    Amplitudes map as  c_interleaved = parity * c_string.
+    """
+    occ_a = _occupancy(str_a, n_orb)  # (S_a, n)
+    occ_b = _occupancy(str_b, n_orb)
+    # above[k_cut] = number of alpha orbitals with index > k_cut
+    above_a = (
+        occ_a.sum(axis=1, keepdims=True)
+        - np.cumsum(occ_a, axis=1)
+    )  # (S_a, n): entries above orbital m
+    crossings = above_a @ occ_b.T  # (S_a, S_b)
+    return np.where(crossings.astype(np.int64) % 2 == 0, 1.0, -1.0).astype(
+        np.float32
+    )
+
+
 # ---------------------------------------------------------------------------
 # Device sigma build
 # ---------------------------------------------------------------------------
