@@ -31,6 +31,10 @@ from .scf import mo_integrals, rhf, rohf, spin_orbital_integrals
 
 MAX_BF_FCI_QUBITS = 20  # same exact-diagonalization cutoff as the reference
 # (reference: molecular_data.py:83-89, max_fci_qubits=20)
+MAX_DIRECT_CI_NDET = 2_000_000  # automatic string-based direct-CI cap; the
+# reference gets such anchors from PySCF's compiled direct-CI solver
+# (run_pyscf.py:266-276), here chem/direct_ci.py is the standalone equivalent.
+# Larger sectors (e.g. Li2O's 41.4M) go through the explicit run_direct_fci().
 
 
 @dataclasses.dataclass
@@ -127,14 +131,45 @@ class Molecule:
 
         self.fci_energy = None
         self.fci_ipr = None
-        if run_fci and self.qubit_num <= MAX_BF_FCI_QUBITS:
+        if run_fci:
+            self._compute_fci()
+
+        self.z2_generators = z_string_symmetries(self.qubit_ham)
+
+    def _compute_fci(self) -> bool:
+        """Exact sector ground state when tractable: brute-force sparse eigsh
+        up to MAX_BF_FCI_QUBITS (the reference's cutoff), else the
+        string-based direct-CI sigma build up to MAX_DIRECT_CI_NDET
+        determinants. Returns True if an FCI anchor was computed."""
+        if self.qubit_num <= MAX_BF_FCI_QUBITS:
             e, _, _, ipr = fci_mod.fci_ground_state(
                 self.h1, self.v, self.n_alpha, self.n_beta, self.e_nuc
             )
             self.fci_energy = float(e)
             self.fci_ipr = float(ipr)
+            return True
+        if self.fci_ndet <= MAX_DIRECT_CI_NDET:
+            self.run_direct_fci()
+            return True
+        return False
 
-        self.z2_generators = z_string_symmetries(self.qubit_ham)
+    def run_direct_fci(self, tol: float = 1e-4, verbose=lambda s: None,
+                       cache_path: Optional[str] = None) -> float:
+        """Direct-CI FCI anchor for sectors beyond the eigsh cap (e.g.
+        Li2O/STO-3G's 41.4M-determinant sector). Optionally upgrades a
+        molecule cache file in place so later ``Molecule.create`` calls see
+        the anchor without re-solving."""
+        from .direct_ci import direct_ci_ground_state
+
+        res = direct_ci_ground_state(
+            self.h1, self.v, self.n_alpha, self.n_beta, self.e_nuc,
+            tol=tol, verbose=verbose,
+        )
+        self.fci_energy = float(res.energy)
+        self.fci_ipr = float(res.ipr)
+        if cache_path:
+            self._save_cache(cache_path)
+        return self.fci_energy
 
     def _compute_correlated_baselines(self):
         """CISD + CCSD(+T) ladder (reference run_pyscf.py:228-308)."""
@@ -186,17 +221,8 @@ class Molecule:
             if run_cisd and mol.cisd_energy is None:
                 mol._compute_correlated_baselines()
                 upgraded = True
-            if (
-                run_fci
-                and mol.fci_energy is None
-                and mol.qubit_num <= MAX_BF_FCI_QUBITS
-            ):
-                e, _, _, ipr = fci_mod.fci_ground_state(
-                    mol.h1, mol.v, mol.n_alpha, mol.n_beta, mol.e_nuc
-                )
-                mol.fci_energy = float(e)
-                mol.fci_ipr = float(ipr)
-                upgraded = True
+            if run_fci and mol.fci_energy is None:
+                upgraded = mol._compute_fci() or upgraded
             if upgraded:
                 mol._save_cache(path)
             return mol

@@ -122,6 +122,22 @@ def test_sigma_matches_sparse_hamiltonian(lih):
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)
 
 
+def test_molecule_auto_direct_ci_beyond_eigsh_cap():
+    """Molecule.create runs direct CI automatically for >20-qubit sectors
+    under MAX_DIRECT_CI_NDET (LiH/6-31G: 22 qubits, 3025 dets), and the
+    anchor survives the cache round trip."""
+    cfg = MolConfig(name="LiH", basis="6-31g")
+    mol = Molecule.create(cfg, mols_dir="mols")
+    assert mol.qubit_num > 20
+    assert mol.fci_energy is not None
+    assert mol.fci_energy < mol.cisd_energy < mol.hf_energy
+    # Variational sanity: FCI below CISD by a sub-mHa sliver on a 4-electron
+    # system (CISD misses only triples/quadruples).
+    assert mol.cisd_energy - mol.fci_energy < 2e-3
+    again = Molecule.create(cfg, mols_dir="mols")
+    assert again.fci_energy == pytest.approx(mol.fci_energy, abs=1e-12)
+
+
 @pytest.mark.parametrize("name", ["LiH", "OH"])
 def test_direct_ci_matches_fci_table(name):
     """Full Davidson solve vs the cached eigsh FCI (OH = open shell,

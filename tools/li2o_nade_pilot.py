@@ -77,9 +77,19 @@ def main():
                 flush=True,
             )
 
+    resume = None
+    if os.path.isdir(run_dir):
+        ckpts = sorted(
+            (d for d in os.listdir(run_dir) if d.startswith("ckpt_")),
+            key=lambda d: int(d.split("_")[1]),
+        )
+        if ckpts:
+            resume = os.path.join(run_dir, ckpts[-1])
+            print(f"resuming from {resume}", flush=True)
+
     params, opt_state, history, best = vmc.run(
         iter_num=iters, on_iter=progress, checkpoint_every=1000,
-        steps_per_call=25,
+        steps_per_call=25, resume_from=resume,
     )
     corr = (best["energy"] - mol.hf_energy) / (ref - mol.hf_energy)
     print(
