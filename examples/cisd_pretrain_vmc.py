@@ -121,22 +121,34 @@ def main():
         run_dir=run_dir,
     )
 
-    # --- pretraining (minibatched over the CISD support).
-    params, _, _ = vmc.init_state()
-    t0 = time.perf_counter()
+    # --- pretraining (minibatched over the CISD support), checkpointed as
+    # iter-0 so a crashed/killed VMC phase resumes without redoing the
+    # 7k-iteration distillation (TPU worker restarts are a fact of life).
+    ckpts = sorted(
+        (d for d in os.listdir(run_dir) if d.startswith("ckpt_")),
+        key=lambda d: int(d.split("_")[1]),
+    ) if os.path.isdir(run_dir) else []
+    if ckpts:
+        resume = os.path.join(run_dir, ckpts[-1])
+        print(f"resuming from {resume} (skipping pretrain)", flush=True)
+    else:
+        params, _, key = vmc.init_state()
+        t0 = time.perf_counter()
 
-    def plog(row):
-        print(f"  pretrain {row['iter']:5d} loss {row['loss']:.5f} "
-              f"ce {row['cross_entropy']:.5f} "
-              f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+        def plog(row):
+            print(f"  pretrain {row['iter']:5d} loss {row['loss']:.5f} "
+                  f"ce {row['cross_entropy']:.5f} "
+                  f"[{time.perf_counter() - t0:.0f}s]", flush=True)
 
-    key = jax.random.PRNGKey(0)
-    batch = min(8192, words.shape[0])
-    for stage_iters, lr in ((2500, 1e-3), (2500, 3e-4), (2000, 1e-4)):
-        params, _ = pretrain(
-            vmc.anqs, params, words, probs, phases, key,
-            iters=stage_iters, lr=lr, batch=batch, on_log=plog,
-        )
+        pkey = jax.random.PRNGKey(0)
+        batch = min(8192, words.shape[0])
+        for stage_iters, lr in ((2500, 1e-3), (2500, 3e-4), (2000, 1e-4)):
+            params, _ = pretrain(
+                vmc.anqs, params, words, probs, phases, pkey,
+                iters=stage_iters, lr=lr, batch=batch, on_log=plog,
+            )
+        resume = os.path.join(run_dir, "ckpt_0")
+        vmc.save_checkpoint(resume, params, vmc.opt.init(params), key, 0)
 
     # --- VMC from the warm start.
     t0 = time.perf_counter()
@@ -154,8 +166,8 @@ def main():
             )
 
     params, opt_state, history, best = vmc.run(
-        iter_num=iters, on_iter=progress, checkpoint_every=1000,
-        steps_per_call=25, init_params=params,
+        iter_num=iters, on_iter=progress, checkpoint_every=250,
+        steps_per_call=25, resume_from=resume,
     )
     corr = (best["energy"] - hf) / (ref - hf)
     print(
