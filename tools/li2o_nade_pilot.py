@@ -29,6 +29,7 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     sample_num = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
     run_dir = sys.argv[3] if len(sys.argv) > 3 else "runs/li2o_nade_pilot"
+    lr = float(sys.argv[4]) if len(sys.argv) > 4 else 1e-3
 
     mol = Molecule.create(
         MolConfig(name="Li2O"), mols_dir="mols", run_fci=False
@@ -46,7 +47,7 @@ def main():
             sample_num=sample_num,
             sampling_mode="gumbel",
             qubit_per_qudit=6,
-            lr=1e-3,
+            lr=lr,
             grad_clip_norm=1.0,
             sr=SRConfig(max_indices_num=50),
             full_energy_period=100,
