@@ -49,6 +49,9 @@ class VMCConfig(Config):
     # symmetry sector once and skips sampling -- exact summation, valid for
     # sectors up to ~2^20 determinants; sample_num is ignored)
     sampling_mode: str = "gumbel"
+    # Top-k selection primitive inside the samplers: 'lax' (XLA TopK) or
+    # 'bisect' (ops.topk.exact_top_k, bit-identical output).
+    topk_impl: str = "lax"
     multinomial_budget: Optional[int] = None
     # Adaptive multinomial budget (reference sample_precisely,
     # calculations/sample.py:62-75): grow/shrink the budget between
@@ -195,6 +198,7 @@ class VMC:
             sample_num=self.config.sample_num,
             mode=self.config.sampling_mode,
             budget=self.config.multinomial_budget,
+            topk_impl=self.config.topk_impl,
         )
         self.opt = self._make_opt(self.config)
 
@@ -434,6 +438,7 @@ class VMC:
             sample_num=eff.sample_num,
             mode=eff.sampling_mode,
             budget=eff.multinomial_budget,
+            topk_impl=eff.topk_impl,
         )
         return key, eff, samp
 

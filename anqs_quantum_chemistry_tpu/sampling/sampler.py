@@ -109,8 +109,20 @@ def _frontier_saturation_step(anqs: ANQS, k_cap: int) -> int:
     return anqs.qudit_num
 
 
+def _select_top_k(x, k: int, impl: str):
+    """Selection primitive: 'lax' (XLA TopK) or 'bisect'
+    (ops.topk.exact_top_k -- value-domain bisection, bit-identical
+    output; see tools/bench_topk.py for the on-device comparison)."""
+    if impl == "bisect":
+        from ..ops.topk import exact_top_k
+
+        return exact_top_k(x, k)
+    return jax.lax.top_k(x, k)
+
+
 def gumbel_top_k_sample(
-    anqs: ANQS, params, key, sample_num: int, mesh=None
+    anqs: ANQS, params, key, sample_num: int, mesh=None,
+    topk_impl: str = "lax",
 ) -> GumbelSample:
     """Exactly the ``sample_num`` distinct most-probable-by-Gumbel states.
 
@@ -154,7 +166,9 @@ def gumbel_top_k_sample(
         if shard:
             child_gumbel = shard_rows(child_gumbel, mesh)
 
-        top_g, top_idx = jax.lax.top_k(child_gumbel.reshape(-1), k_out)
+        top_g, top_idx = _select_top_k(
+            child_gumbel.reshape(-1), k_out, topk_impl
+        )
         parent = top_idx // d
         cont = (top_idx % d).astype(jnp.int32)
         words = _expand_words_dyn(anqs, words, parent, cont, q)
@@ -249,7 +263,8 @@ def _binomial_bisect(key, counts, probs, k_bits: int):
 
 
 def multinomial_sample(
-    anqs: ANQS, params, key, sample_num: int, budget: Optional[int] = None
+    anqs: ANQS, params, key, sample_num: int, budget: Optional[int] = None,
+    topk_impl: str = "lax",
 ) -> MultinomialSample:
     """Occupation-count sampling with capacity K = sample_num."""
     budget = int(budget if budget is not None else sample_num)
@@ -259,7 +274,8 @@ def multinomial_sample(
         # (1e8, sandbox_qchem.py:54,135).
         raise ValueError("multinomial budget > 2^30 overflows int32 counts")
     return _multinomial_core(
-        anqs, params, key, sample_num, jnp.asarray(budget, jnp.int32)
+        anqs, params, key, sample_num, jnp.asarray(budget, jnp.int32),
+        topk_impl=topk_impl,
     )
 
 
@@ -293,7 +309,9 @@ def sample_precisely(
         budget = min(int(budget * growth), max_budget)
 
 
-def _multinomial_core(anqs: ANQS, params, key, k_cap: int, budget):
+def _multinomial_core(
+    anqs: ANQS, params, key, k_cap: int, budget, topk_impl: str = "lax"
+):
     """multinomial_sample body with a (possibly traced) budget scalar.
 
     Capacity-scheduled like ``gumbel_top_k_sample``: unrolled exact-shape
@@ -321,7 +339,7 @@ def _multinomial_core(anqs: ANQS, params, key, k_cap: int, budget):
         child_counts = jnp.where(
             counts[:, None] > 0, child_counts, 0
         ).reshape(-1)
-        top_c, top_idx = jax.lax.top_k(child_counts, k_out)
+        top_c, top_idx = _select_top_k(child_counts, k_out, topk_impl)
         dropped = dropped + (
             jnp.sum(child_counts) - jnp.sum(top_c)
         ).astype(jnp.int32)
@@ -387,6 +405,7 @@ class SamplingConfig:
     sample_num: int = 10000
     mode: str = "gumbel"  # 'gumbel' (unique top-k) | 'multinomial'
     budget: Optional[int] = None  # multinomial budget (defaults sample_num)
+    topk_impl: str = "lax"  # 'lax' | 'bisect' (ops.topk.exact_top_k)
 
 
 def sample(
@@ -403,7 +422,8 @@ def sample(
     """
     if config.mode == "gumbel":
         out = gumbel_top_k_sample(
-            anqs, params, key, config.sample_num, mesh=mesh
+            anqs, params, key, config.sample_num, mesh=mesh,
+            topk_impl=config.topk_impl,
         )
         weights = jnp.where(out.valid, jnp.exp(out.log_probs), 0.0)
         stats = {"unique_num": jnp.sum(out.valid), "dropped": 0}
@@ -411,12 +431,14 @@ def sample(
     if config.mode == "multinomial":
         if budget is None:
             out = multinomial_sample(
-                anqs, params, key, config.sample_num, config.budget
+                anqs, params, key, config.sample_num, config.budget,
+                topk_impl=config.topk_impl,
             )
         else:
             out = _multinomial_core(
                 anqs, params, key, config.sample_num,
                 jnp.asarray(budget, jnp.int32),
+                topk_impl=config.topk_impl,
             )
         total = jnp.maximum(jnp.sum(out.counts), 1)
         weights = out.counts.astype(jnp.float32) / total
