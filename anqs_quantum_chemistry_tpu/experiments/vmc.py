@@ -510,6 +510,69 @@ class VMC:
             self._multi_step_cache[key] = call
         return self._multi_step_cache[key]
 
+    def init_ensemble_state(self, n_rep: int):
+        """Stacked (params, opt_state, key) for ``n_rep`` independent
+        replicas (seeds ``seed .. seed+n_rep-1``) -- the reference's
+        multi-seed series workflow (experiments/series.py counterpart)
+        batched into one program via vmap."""
+        keys = jnp.stack(
+            [
+                jax.random.PRNGKey(self.config.seed + r)
+                for r in range(n_rep)
+            ]
+        )
+        carry = jax.vmap(jax.random.split)(keys)
+        params = jax.vmap(self.anqs.init)(carry[:, 1])
+        opt_state = jax.vmap(self.opt.init)(params)
+        return params, opt_state, carry[:, 0]
+
+    def _multi_step_ensemble(
+        self, n_steps: int, n_rep: int, overrides: Optional[dict] = None
+    ):
+        """vmapped ``_multi_step``: one dispatch advances ``n_rep``
+        independent replicas ``n_steps`` each. Per-replica semantics are
+        identical to ``_multi_step`` (vmap of the same program; shared
+        molecule tables broadcast); metrics gain a leading replica axis.
+
+        The v5e runs far below peak on one replica's (latency/gather-
+        bound) step, so replica batching is the throughput lever for the
+        multi-seed production workflow: it multiplies found-pairs per
+        dispatch at sublinear cost."""
+        key0, eff, samp = self._step_configs(overrides)
+        key = (n_steps, "ens", n_rep, key0)
+        if key not in self._multi_step_cache:
+            self._get_step(overrides)
+            opt = self._step_cache[key0]["opt"]
+
+            def run_n_impl(params, opt_state, key_, consts, budget):
+                with self._bound_consts(consts):
+                    def body(state, _):
+                        p, o, k2 = state
+                        out = self._step_body(
+                            p, o, k2, eff, samp, opt, budget=budget
+                        )
+                        p, o, k2, metrics = out[:4]
+                        return (p, o, k2), metrics
+
+                    (params, opt_state, key_), metrics = jax.lax.scan(
+                        body, (params, opt_state, key_), None,
+                        length=n_steps,
+                    )
+                return params, opt_state, key_, metrics
+
+            jitted = jax.jit(
+                jax.vmap(run_n_impl, in_axes=(0, 0, 0, None, None))
+            )
+
+            def call(params, opt_state, keys):
+                return jitted(
+                    params, opt_state, keys, self.device_consts(),
+                    jnp.asarray(self._current_budget(eff), jnp.int32),
+                )
+
+            self._multi_step_cache[key] = call
+        return self._multi_step_cache[key]
+
     # ------------------------------------------------------------------
     def init_state(self):
         key = jax.random.PRNGKey(self.config.seed)

@@ -9,6 +9,9 @@ given sample_num / scan-window length so the headline config can be
 chosen from data.
 
 Usage: python tools/bench_probe.py <sample_num> [steps] [warmup] [--profile]
+       [--ens N]  (N vmapped replicas per dispatch -- the multi-seed
+                   series workflow batched into one program; found-pairs
+                   multiply by N at sublinear dispatch cost)
 """
 
 import os
@@ -59,8 +62,16 @@ def main():
         print(f"[profile {time.perf_counter() - t0:.0f}s]", flush=True)
         return
 
-    params, opt_state, key = vmc.init_state()
-    run = vmc._multi_step(steps)
+    n_rep = 0
+    if "--ens" in sys.argv:
+        n_rep = int(sys.argv[sys.argv.index("--ens") + 1])
+    if n_rep:
+        state0 = vmc.init_ensemble_state(n_rep)
+        run = vmc._multi_step_ensemble(steps, n_rep)
+    else:
+        state0 = vmc.init_state()
+        run = vmc._multi_step(steps)
+    params, opt_state, key = state0
     t0 = time.perf_counter()
     state = (params, opt_state, key)
     out = run(*state)
@@ -79,11 +90,12 @@ def main():
         jax.block_until_ready(out[3])
         dt = time.perf_counter() - t0
         found = float(np.asarray(out[3]["found_pairs"]).sum())
+        e_last = np.asarray(out[3]["energy"]).reshape(-1)[-1]
         print(
-            f"sample_num {sample_num} steps {steps} rep {rep}: "
-            f"{found / dt / 1e6:.2f}M found-pairs/s "
+            f"sample_num {sample_num} steps {steps} ens {n_rep} "
+            f"rep {rep}: {found / dt / 1e6:.2f}M found-pairs/s "
             f"({dt / steps * 1e3:.1f} ms/iter, "
-            f"E {float(np.asarray(out[3]['energy'])[-1]):+.5f}, "
+            f"E {float(e_last):+.5f}, "
             f"vs_baseline {found / dt / 2.8e6:.2f}x)",
             flush=True,
         )
