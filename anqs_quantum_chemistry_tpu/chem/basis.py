@@ -53,6 +53,30 @@ _STO3G_ZETA = {
     "Ne": (9.64, 2.88),
 }
 
+# Third row (Na-Ar): universal 3sp expansion + per-element
+# (zeta_1s, zeta_2sp, zeta_3sp), derived in-tree by tools/fit_sto3g.py
+# with the exact Hehre-Stewart-Pople prescription (the same code
+# reproduces the published 1s/2sp tables above to 6-7 digits). Zetas are
+# variational best-atom values (Nelder-Mead over the in-tree (RO)HF
+# atomic energy; virial -V/T = 2.0000 at each optimum). Atomic energies
+# at these zetas, for regression: Na -159.810319, Mg -197.193647,
+# Al -239.039321, Si -285.580054, P -336.965384, S -393.203781,
+# Cl -454.581965, Ar -521.264922 Ha.
+_STO3G_3SP_EXP = (0.482854028, 0.134715060, 0.052726564)
+_STO3G_3S_COEF = (-0.219620377, 0.225595429, 0.900398439)
+_STO3G_3P_COEF = (0.010587615, 0.595166989, 0.462001016)
+
+_STO3G_ZETA3 = {
+    "Na": (10.6783, 3.5183, 1.3514),
+    "Mg": (11.6717, 3.9189, 1.2786),
+    "Al": (12.6627, 4.3773, 1.3578),
+    "Si": (13.6521, 4.8533, 1.5308),
+    "P": (14.6406, 5.3322, 1.7290),
+    "S": (15.6282, 5.8122, 1.9262),
+    "Cl": (16.6151, 6.2925, 2.1311),
+    "Ar": (17.6013, 6.7731, 2.3402),
+}
+
 # 6-31G: element -> list of (angmom_label, [(exp, coef_s[, coef_p]), ...]).
 _631G: Dict[str, list] = {
     "H": [
@@ -175,7 +199,15 @@ class Shell:
 
 
 def _sto3g_shells(element: str) -> List[Tuple[str, list]]:
-    z1, z2 = _STO3G_ZETA[element]
+    if element in _STO3G_ZETA3:
+        z1, z2, z3 = _STO3G_ZETA3[element]
+    elif element in _STO3G_ZETA:
+        z1, z2 = _STO3G_ZETA[element]
+        z3 = None
+    else:
+        raise NotImplementedError(
+            f"STO-3G data for {element} not embedded yet"
+        )
     shells = [
         ("S", [(a * z1**2, c) for a, c in _STO3G_1S]),
     ]
@@ -186,6 +218,16 @@ def _sto3g_shells(element: str) -> List[Tuple[str, list]]:
                 (a * z2**2, cs, cp)
                 for a, cs, cp in zip(
                     _STO3G_2SP_EXP, _STO3G_2S_COEF, _STO3G_2P_COEF
+                )
+            ],
+        ))
+    if z3 is not None:
+        shells.append((
+            "SP",
+            [
+                (a * z3**2, cs, cp)
+                for a, cs, cp in zip(
+                    _STO3G_3SP_EXP, _STO3G_3S_COEF, _STO3G_3P_COEF
                 )
             ],
         ))

@@ -93,6 +93,17 @@ class VMCConfig(Config):
     # the canonical sort and the per-iteration table build/lookup
     # entirely (engine.local_energy_static).
     exact_static_membership: bool = True
+    # SAMPLED-mode static-connectivity membership ('auto' | 'on' | 'off'):
+    # when the (N_alpha, N_beta) sector is enumerable, partner SECTOR
+    # indices for every (sector det, group) pair are precomputed at init
+    # and per-iteration membership reduces to one binary search of the
+    # sampled words into the static sector plus compact sector-indexed
+    # row-table gathers (engine.local_energy_sector) -- measured ~2.6x
+    # cheaper than the dynamic direct-address table at the N2 flagship
+    # shape. 'auto' enables it when the sector fits the thresholds below.
+    sector_membership: str = "auto"
+    sector_membership_max_dets: int = 1 << 16
+    sector_membership_max_entries: int = 48_000_000
     seed: int = 0
     iter_num: int = 500
     # Iteration-keyed config schedules (reference EnergyOptExpConfig
@@ -238,49 +249,23 @@ class VMC:
         self.exact_valid = None
         self.exact_partner_idx = None
         self.exact_partner_found = None
+        self.sector_words = None
+        self.sector_partner_idx = None
+        self.sector_partner_found = None
         if self.config.sampling_mode == "exact":
             if mol is None:
                 raise ValueError(
                     "sampling_mode='exact' needs a Molecule (sector "
                     "enumeration)"
                 )
-            from ..chem.fci import sector_determinants
-
-            dets = np.asarray(
-                sector_determinants(
-                    mol.qubit_num, mol.n_alpha, mol.n_beta
-                ),
-                dtype=np.uint64,
+            dets, words_packed, valid_arr, n_real = self._enumerate_sector(
+                mol, perm, n
             )
-            if perm is not None:
-                permuted = np.zeros_like(dets)
-                for i, p in enumerate(perm):
-                    permuted |= (
-                        (dets >> np.uint64(p)) & np.uint64(1)
-                    ) << np.uint64(i)
-                dets = permuted
-            dets = np.sort(dets)
-            assert len(dets) <= 1 << 20, (
-                f"sector too large for exact summation ({len(dets)})"
+            assert n_real <= 1 << 20, (
+                f"sector too large for exact summation ({n_real})"
             )
-            bits = (
-                (dets[:, None] >> np.arange(n, dtype=np.uint64)[None, :])
-                & np.uint64(1)
-            ).astype(np.int64)
-            # Pad to a multiple of 64 with all-ones sentinel rows
-            # (valid=False): keeps row sharding even on any mesh (XLA's
-            # SPMD partitioner CHECK-fails on scatters over unevenly
-            # tiled rows) and aligns with the 64-pair row packing.
-            n_real = len(dets)
-            pad = (-n_real) % 64
-            if pad:
-                bits = np.concatenate(
-                    [bits, np.ones((pad, n), dtype=np.int64)]
-                )
-            self.exact_words = bitops.pack(jnp.asarray(bits))
-            self.exact_valid = jnp.asarray(
-                np.arange(n_real + pad) < n_real
-            )
+            self.exact_words = words_packed
+            self.exact_valid = valid_arr
 
             # Static membership: the sector is fixed, so partner indices
             # for every (det, group) pair are one host-side searchsorted
@@ -295,23 +280,94 @@ class VMC:
                 and not self.config.couple_spin_flip
                 and not self.config.couple_ref_dets
             ):
-                a_np = np.asarray(self.engine.a_words).astype(np.uint64)
-                a_ints = a_np[:, 0]
-                if a_np.shape[1] > 1:
-                    a_ints = a_ints | (a_np[:, 1] << np.uint64(32))
-                partner = dets[:, None] ^ a_ints[None, :]
-                idx = np.searchsorted(dets, partner)
-                idxc = np.clip(idx, 0, n_real - 1).astype(np.int32)
-                pf = dets[idxc] == partner
-                if pad:
-                    idxc = np.concatenate(
-                        [idxc, np.zeros((pad, len(a_ints)), np.int32)]
-                    )
-                    pf = np.concatenate(
-                        [pf, np.zeros((pad, len(a_ints)), bool)]
-                    )
-                self.exact_partner_idx = jnp.asarray(idxc)
-                self.exact_partner_found = jnp.asarray(pf)
+                idxc, pf = self._sector_partner_tables(dets, n_real)
+                self.exact_partner_idx = idxc
+                self.exact_partner_found = pf
+        elif self._want_sector_membership(mol, n):
+            # Sampled-mode static-connectivity membership
+            # (engine.local_energy_sector): enumerate the sector and
+            # precompute every partner's sector index once.
+            dets, words_packed, valid_arr, n_real = self._enumerate_sector(
+                mol, perm, n
+            )
+            idxc, pf = self._sector_partner_tables(dets, n_real)
+            self.sector_words = words_packed
+            self.sector_partner_idx = idxc
+            self.sector_partner_found = pf
+
+    def _enumerate_sector(self, mol, perm, n):
+        """Enumerate + canonically sort the (N_alpha, N_beta) sector;
+        returns (sorted dets u64, packed words, valid mask, n_real) with
+        all-ones sentinel rows padding to a multiple of 64 (keeps row
+        sharding even on any mesh -- XLA's SPMD partitioner CHECK-fails
+        on scatters over unevenly tiled rows -- and aligns with the
+        64-pair row packing)."""
+        from ..chem.fci import sector_determinants
+
+        dets = np.asarray(
+            sector_determinants(mol.qubit_num, mol.n_alpha, mol.n_beta),
+            dtype=np.uint64,
+        )
+        if perm is not None:
+            permuted = np.zeros_like(dets)
+            for i, p in enumerate(perm):
+                permuted |= (
+                    (dets >> np.uint64(p)) & np.uint64(1)
+                ) << np.uint64(i)
+            dets = permuted
+        dets = np.sort(dets)
+        bits = (
+            (dets[:, None] >> np.arange(n, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        n_real = len(dets)
+        pad = (-n_real) % 64
+        if pad:
+            bits = np.concatenate(
+                [bits, np.ones((pad, n), dtype=np.int64)]
+            )
+        words_packed = bitops.pack(jnp.asarray(bits))
+        valid_arr = jnp.asarray(np.arange(n_real + pad) < n_real)
+        return dets, words_packed, valid_arr, n_real
+
+    def _sector_partner_tables(self, dets, n_real):
+        """Host-side searchsorted of every det's M connected partners
+        into the sorted sector: (N_padded, M) int32 indices + found
+        mask."""
+        a_np = np.asarray(self.engine.a_words).astype(np.uint64)
+        a_ints = a_np[:, 0]
+        if a_np.shape[1] > 1:
+            a_ints = a_ints | (a_np[:, 1] << np.uint64(32))
+        partner = dets[:, None] ^ a_ints[None, :]
+        idx = np.searchsorted(dets, partner)
+        idxc = np.clip(idx, 0, n_real - 1).astype(np.int32)
+        pf = dets[idxc] == partner
+        pad = (-n_real) % 64
+        if pad:
+            idxc = np.concatenate(
+                [idxc, np.zeros((pad, len(a_ints)), np.int32)]
+            )
+            pf = np.concatenate([pf, np.zeros((pad, len(a_ints)), bool)])
+        return jnp.asarray(idxc), jnp.asarray(pf)
+
+    def _want_sector_membership(self, mol, n) -> bool:
+        mode = self.config.sector_membership
+        if mode in ("off", False) or mol is None or n > 64:
+            return False
+        ndet = int(mol.fci_ndet)
+        if mode in ("on", True):
+            assert ndet <= 1 << 20, (
+                f"sector too large for sector membership ({ndet})"
+            )
+            return True
+        # 'auto' defers to an explicitly chosen dynamic backend.
+        if "membership" in (self.config.engine_overrides or {}):
+            return False
+        return (
+            ndet <= self.config.sector_membership_max_dets
+            and ndet * self.engine.a_words.shape[0]
+            <= self.config.sector_membership_max_entries
+        )
 
     # ------------------------------------------------------------------
     # Device-constant threading
@@ -346,6 +402,10 @@ class VMC:
         if getattr(self, "exact_partner_idx", None) is not None:
             targets.append((self, "exact_partner_idx"))
             targets.append((self, "exact_partner_found"))
+        if getattr(self, "sector_words", None) is not None:
+            targets.append((self, "sector_words"))
+            targets.append((self, "sector_partner_idx"))
+            targets.append((self, "sector_partner_found"))
         if hasattr(self.anqs, "sf_cont_idx"):
             targets.append((self.anqs, "sf_cont_idx"))
         return targets
@@ -782,6 +842,12 @@ class VMC:
                 sorted_words, la, ph, valid,
                 self.exact_partner_idx, self.exact_partner_found,
             )
+        elif self.sector_words is not None:
+            e = self.engine.local_energy_sector(
+                sorted_words, la, ph, valid,
+                self.sector_words,
+                self.sector_partner_idx, self.sector_partner_found,
+            )
         else:
             e = self.engine.local_energy_proxy(sorted_words, la, ph, valid)
 
@@ -997,6 +1063,13 @@ class VMC:
                 e = engine.local_energy_static(
                     sw, la + c * 1e-12, ph, sv,
                     self.exact_partner_idx, self.exact_partner_found,
+                )
+                return c + e.e_re.sum()
+        elif self.sector_words is not None:
+            def body_eloc(c, i):
+                e = engine.local_energy_sector(
+                    sw, la + c * 1e-12, ph, sv, self.sector_words,
+                    self.sector_partner_idx, self.sector_partner_found,
                 )
                 return c + e.e_re.sum()
         else:

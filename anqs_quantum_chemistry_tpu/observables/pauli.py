@@ -454,6 +454,45 @@ class PauliEngine:
             me, la_p, ph_p, found, log_abs, phase, valid
         )
 
+    def _amp_row_table(self, n_slots, slot_idx, log_abs, phase, ok):
+        """Interleaved (log|psi|, phase) row table over ``n_slots``
+        COMPACT slots: 64 pairs per 128-lane row, so ONE row gather (the
+        expensive op on TPU; ~1.9 ns/row flat in width, DESIGN_NOTES)
+        fetches both values of a partner. Slots not written by any
+        ``ok`` entry hold NEG in the log|psi| lane (-> found=False)."""
+        neg = jnp.float32(-1e30)
+        n_rows = -(-n_slots // 64)
+        lane = jnp.arange(128, dtype=jnp.int32)
+        tab = jnp.broadcast_to(
+            jnp.where(lane % 2 == 0, neg, 0.0).astype(jnp.float32),
+            (n_rows, 128),
+        )
+        row = jnp.where(ok, slot_idx >> 6, n_rows)
+        col = (slot_idx & 63) * 2
+        tab = tab.at[row, col].set(
+            jnp.where(ok, log_abs, neg), mode="drop"
+        )
+        tab = tab.at[row, col + 1].set(phase, mode="drop")
+        return tab
+
+    def _amp_row_lookup(self, tab, q_idx):
+        """Chunked (log|psi|, phase) lookups of compact slot indices
+        against an ``_amp_row_table``; returns arrays shaped like
+        ``q_idx``."""
+
+        def lookup(q):
+            rows_g = tab[q >> 6]
+            qc = (q & 63) * 2
+            sel_la = jax.nn.one_hot(qc, 128, dtype=jnp.float32)
+            sel_ph = jax.nn.one_hot(qc + 1, 128, dtype=jnp.float32)
+            return (
+                jnp.sum(rows_g * sel_la, axis=-1),
+                jnp.sum(rows_g * sel_ph, axis=-1),
+            )
+
+        la_p, ph_p = self._chunked_queries(lookup, (q_idx.reshape(-1),))
+        return la_p.reshape(q_idx.shape), ph_p.reshape(q_idx.shape)
+
     def local_energy_static(
         self, words, log_abs, phase, valid, partner_idx, partner_found
     ) -> LocalEnergies:
@@ -467,42 +506,41 @@ class PauliEngine:
         specialization of its sample-aware proxy E_loc)."""
         me = self.matrix_elements(words)
         neg = jnp.float32(-1e30)
-
-        # Interleaved-pair rows (same layout as the direct-address table,
-        # but keyed by the precomputed dense index -- no hash, no key
-        # compare): ONE 128-lane row gather fetches both (log|psi|,
-        # phase) of a partner, at the ~2.4 ns/query row-gather cost
-        # instead of two flat element gathers.
         b = log_abs.shape[0]
-        n_rows = -(-b // 64)
-        lane = jnp.arange(128, dtype=jnp.int32)
-        tab = jnp.broadcast_to(
-            jnp.where(lane % 2 == 0, neg, 0.0).astype(jnp.float32),
-            (n_rows, 128),
-        )
         i = jnp.arange(b, dtype=jnp.int32)
-        col = (i & 63) * 2
-        tab = tab.at[i >> 6, col].set(
-            jnp.where(valid, log_abs, neg)
-        )
-        tab = tab.at[i >> 6, col + 1].set(phase)
-
-        def lookup(q):
-            rows_g = tab[q >> 6]
-            qc = (q & 63) * 2
-            sel_la = jax.nn.one_hot(qc, 128, dtype=jnp.float32)
-            sel_ph = jax.nn.one_hot(qc + 1, 128, dtype=jnp.float32)
-            return (
-                jnp.sum(rows_g * sel_la, axis=-1),
-                jnp.sum(rows_g * sel_ph, axis=-1),
-            )
-
-        la_p, ph_p = self._chunked_queries(
-            lookup, (partner_idx.reshape(-1),)
-        )
-        la_p = la_p.reshape(partner_idx.shape)
-        ph_p = ph_p.reshape(partner_idx.shape)
+        tab = self._amp_row_table(b, i, log_abs, phase, valid)
+        la_p, ph_p = self._amp_row_lookup(tab, partner_idx)
         found = partner_found & (la_p > 0.5 * neg) & valid[:, None]
+        return self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
+
+    def local_energy_sector(
+        self, words, log_abs, phase, valid,
+        sector_words, partner_idx, partner_found,
+    ) -> LocalEnergies:
+        """Sampled-set local energies with membership via the PRECOMPUTED
+        sector connectivity: when the (N_alpha, N_beta) sector is
+        enumerable, every connected partner's SECTOR index is a static
+        (N, M) table built once at init, so the per-iteration work
+        reduces to (a) one binary search of the B sampled words into the
+        static sorted sector, (b) scattering the sampled amplitudes into
+        a compact sector-indexed row table, and (c) B x M row gathers.
+        Unlike the dynamic direct-address table (2^n addresses, 8 MB at
+        N2 scale), the compact table is sector-sized (~113 KB) -- VMEM-
+        class gathers instead of HBM, measured ~2.6x cheaper end-to-end
+        at the N2 flagship shape. The reference's membership is always
+        dynamic (nqs/nqs/base/hilbert_space.py:263-284); this is the
+        sampled-mode analogue of ``local_energy_static``."""
+        me = self.matrix_elements(words)
+        neg = jnp.float32(-1e30)
+        n_sector = sector_words.shape[0]
+        sidx, sfound = keys.searchsorted_words(sector_words, words)
+        ok = valid & sfound
+        tab = self._amp_row_table(n_sector, sidx, log_abs, phase, ok)
+        safe_s = jnp.clip(sidx, 0, n_sector - 1)
+        pidx = partner_idx[safe_s]  # (B, M) row gather, static table
+        pfnd = partner_found[safe_s] & ok[:, None]
+        la_p, ph_p = self._amp_row_lookup(tab, pidx)
+        found = pfnd & (la_p > 0.5 * neg)
         return self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
 
     def _proxy_via_table(self, words, log_abs, phase, valid):

@@ -296,3 +296,35 @@ def test_cr_sv_basis_structure():
         e = float(d["hf_energy"])
         assert -1043.36 < e < -1042.5, e
         assert int(d["n_alpha"]) - int(d["n_beta"]) == 6
+
+
+def test_third_row_sto3g_atoms():
+    # Na-Ar STO-3G is derived in-tree (tools/fit_sto3g.py: universal 3sp
+    # expansion + variational best-atom zetas). Regression against the
+    # recorded fit-time energies; virial -V/T == 2 at the variational
+    # optimum is the literature-free correctness check.
+    for el, ne, e_ref in [
+        ("Mg", 12, -197.193647),
+        ("Ar", 18, -521.264922),
+    ]:
+        atoms = [(el, (0.0, 0.0, 0.0))]
+        shells = basis_for_atoms(atoms, "sto-3g")
+        assert len(shells) == 5  # 1s + 2s/2p + 3s/3p
+        ints = compute_integrals_ao(atoms, shells)
+        res = rhf(ints["S"], ints["T"] + ints["V"], ints["ERI"], ne, 0.0)
+        assert res["converged"]
+        assert abs(res["hf_energy"] - e_ref) < 2e-4, el
+        t_e = float(np.sum(res["density"] * ints["T"]))
+        virial = -(res["hf_energy"] - t_e) / t_e
+        assert abs(virial - 2.0) < 2e-4, el
+
+
+def test_third_row_sto3g_open_shell():
+    from anqs_quantum_chemistry_tpu.chem.scf import rohf
+
+    atoms = [("Na", (0.0, 0.0, 0.0))]
+    shells = basis_for_atoms(atoms, "sto-3g")
+    ints = compute_integrals_ao(atoms, shells)
+    res = rohf(ints["S"], ints["T"] + ints["V"], ints["ERI"], 6, 5, 0.0)
+    assert res["converged"]
+    assert abs(res["hf_energy"] - (-159.810319)) < 2e-4
