@@ -252,6 +252,7 @@ class VMC:
         self.sector_words = None
         self.sector_partner_idx = None
         self.sector_partner_found = None
+        self.sector_pos = None
         if self.config.sampling_mode == "exact":
             if mol is None:
                 raise ValueError(
@@ -294,6 +295,16 @@ class VMC:
             self.sector_words = words_packed
             self.sector_partner_idx = idxc
             self.sector_partner_found = pf
+            if n <= PauliEngine.MAX_TABLE_QUBITS:
+                # Direct-address sample -> sector-index map: one gather
+                # per sample instead of a W-word binary search, and the
+                # step can skip the canonical sort entirely (the sector
+                # path needs no sorted sample set).
+                pos = np.full(1 << n, -1, dtype=np.int32)
+                pos[dets.astype(np.int64)] = np.arange(
+                    n_real, dtype=np.int32
+                )
+                self.sector_pos = jnp.asarray(pos)
 
     def _enumerate_sector(self, mol, perm, n):
         """Enumerate + canonically sort the (N_alpha, N_beta) sector;
@@ -406,6 +417,8 @@ class VMC:
             targets.append((self, "sector_words"))
             targets.append((self, "sector_partner_idx"))
             targets.append((self, "sector_partner_found"))
+        if getattr(self, "sector_pos", None) is not None:
+            targets.append((self, "sector_pos"))
         if hasattr(self.anqs, "sf_cont_idx"):
             targets.append((self.anqs, "sf_cont_idx"))
         return targets
@@ -811,10 +824,22 @@ class VMC:
             sampling_config.mode == "exact"
             and self.exact_partner_idx is not None
         )
+        # Sector fast path with a direct-address position map needs no
+        # canonical sort at all (gumbel samples are unique by
+        # construction; coupling augmentations need the sort's dedup).
+        skip_sort = (
+            self.sector_pos is not None
+            and sampling_config.mode == "gumbel"
+            and not cfg.couple_spin_flip
+            and not cfg.couple_ref_dets
+        )
         if use_static:
             # Pre-sorted fixed sector, all rows valid: no sort, and
             # membership was resolved at init.
             sorted_words = words
+        elif skip_sort:
+            sentinel = jnp.full_like(words, bitops.UINT(0xFFFFFFFF))
+            sorted_words = jnp.where(valid[:, None], words, sentinel)
         else:
             # Canonical sort with all-ones sentinels on invalid rows so
             # membership lookups can never match them.
@@ -847,6 +872,7 @@ class VMC:
                 sorted_words, la, ph, valid,
                 self.sector_words,
                 self.sector_partner_idx, self.sector_partner_found,
+                sector_pos=self.sector_pos,
             )
         else:
             e = self.engine.local_energy_proxy(sorted_words, la, ph, valid)
@@ -908,12 +934,17 @@ class VMC:
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
-        # HF-projected local energy: E_loc at the HF determinant.
-        hf_idx, hf_found = keys.searchsorted_words(
-            sorted_words, self.hf_words
+        # HF-projected local energy: E_loc at the HF determinant. A
+        # direct row compare (order-independent: the sector fast path
+        # skips the canonical sort) -- valid rows are unique, so the
+        # masked sum selects at most one row.
+        hf_match = (
+            jnp.all(sorted_words == self.hf_words[0][None, :], axis=1)
+            & valid
         )
         hf_e = jnp.where(
-            hf_found[0], e.e_re[jnp.clip(hf_idx[0], 0, la.shape[0] - 1)],
+            jnp.any(hf_match),
+            jnp.sum(jnp.where(hf_match, e.e_re, 0.0)),
             jnp.nan,
         )
         # Always-defined HF diagnostic (hf_proj_energy is NaN whenever the

@@ -515,7 +515,7 @@ class PauliEngine:
 
     def local_energy_sector(
         self, words, log_abs, phase, valid,
-        sector_words, partner_idx, partner_found,
+        sector_words, partner_idx, partner_found, sector_pos=None,
     ) -> LocalEnergies:
         """Sampled-set local energies with membership via the PRECOMPUTED
         sector connectivity: when the (N_alpha, N_beta) sector is
@@ -533,13 +533,49 @@ class PauliEngine:
         me = self.matrix_elements(words)
         neg = jnp.float32(-1e30)
         n_sector = sector_words.shape[0]
-        sidx, sfound = keys.searchsorted_words(sector_words, words)
+        if sector_pos is not None:
+            # Direct-address sample -> sector-index map (one gather per
+            # sample instead of a W-word binary search; also frees the
+            # caller from canonically sorting the sample set).
+            size = sector_pos.shape[0]
+            key32 = words[:, 0]
+            safe_key = valid & (key32 < jnp.uint32(size))
+            sidx = jnp.where(
+                safe_key,
+                sector_pos[
+                    jnp.where(safe_key, key32, 0).astype(jnp.int32)
+                ],
+                -1,
+            )
+            sfound = sidx >= 0
+        else:
+            sidx, sfound = keys.searchsorted_words(sector_words, words)
         ok = valid & sfound
-        tab = self._amp_row_table(n_sector, sidx, log_abs, phase, ok)
         safe_s = jnp.clip(sidx, 0, n_sector - 1)
         pidx = partner_idx[safe_s]  # (B, M) row gather, static table
         pfnd = partner_found[safe_s] & ok[:, None]
-        la_p, ph_p = self._amp_row_lookup(tab, pidx)
+        if self.table_pairs_per_row == 1:
+            # (N, 2) layout: one narrow row gather per query, no
+            # lane-select passes (see _proxy_via_table2).
+            slot = jnp.where(ok, sidx, n_sector)
+            tab = jnp.full((n_sector + 1, 2), neg, dtype=jnp.float32)
+            tab = tab.at[slot, 0].set(
+                jnp.where(ok, log_abs, neg), mode="drop"
+            )
+            tab = tab.at[slot, 1].set(phase, mode="drop")
+
+            def lookup(q):
+                rows_g = tab[q]
+                return rows_g[..., 0], rows_g[..., 1]
+
+            la_p, ph_p = self._chunked_queries(
+                lookup, (pidx.reshape(-1),)
+            )
+            la_p = la_p.reshape(pidx.shape)
+            ph_p = ph_p.reshape(pidx.shape)
+        else:
+            tab = self._amp_row_table(n_sector, sidx, log_abs, phase, ok)
+            la_p, ph_p = self._amp_row_lookup(tab, pidx)
         found = pfnd & (la_p > 0.5 * neg)
         return self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
 

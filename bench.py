@@ -7,12 +7,20 @@ bench covered only the exact-summation membership regime):
 
 * ``value`` / headline: the SAMPLED (Gumbel) pipeline -- N2/STO-3G,
   16384 Gumbel top-k unique samples covering the full 14400-determinant
-  (N_alpha, N_beta) sector, qpq=10, dynamic per-iteration membership
-  (canonical sort + direct-address table build + 16384 x 536 lookups),
-  SR top-50, Adam + clip: the exact configuration of the
-  chemical-accuracy N2 run (examples/n2_convergence.py, ~0.1 mHa by iter
-  ~9k). A 500-iteration warmup first trains the state so found-pairs
-  counts are steady-state, not cold-start.
+  (N_alpha, N_beta) sector, qpq=10, SR top-50, Adam + clip: the exact
+  configuration of the chemical-accuracy N2 run
+  (examples/n2_convergence.py, ~0.1 mHa by iter ~9k). Membership runs
+  the round-3 sector backend (static (det, group) -> partner-sector-
+  index connectivity precomputed at init; per-iteration work = one
+  position-map gather per sample + compact row-table gathers,
+  engine.local_energy_sector) -- numerically identical trajectories to
+  the dynamic table (tests/test_sector_membership.py). A 500-iteration
+  warmup first trains the state so found-pairs counts are steady-state,
+  not cold-start.
+* ``sampled_dynamic``: the same full sampled step with the dynamic
+  per-iteration membership (canonical sort + direct-address table build
+  + 16384 x 536 lookups) -- the regime every beyond-sector-scale
+  molecule (Li2O, C2H4, ...) uses.
 * ``exact_summation``: the static-membership exact-summation flagship
   (the round-2 headline; dissociation-curve recipe, qpq=10 MADE-512,
   SR top-50).
@@ -33,7 +41,7 @@ import json
 import time
 
 
-def build_vmc(sampling_mode: str):
+def build_vmc(sampling_mode: str, sector: str = "auto"):
     from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
     from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
     from anqs_quantum_chemistry_tpu.models.anqs import AnqsConfig
@@ -55,6 +63,7 @@ def build_vmc(sampling_mode: str):
             grad_clip_norm=1.0,
             sr=SRConfig(max_indices_num=50),
             seed=0,
+            sector_membership=sector,
         ),
         AnqsConfig(hidden_widths=(512,)),
     )
@@ -93,6 +102,9 @@ def main():
     # TRAINED state's sample set; benching the cold state undercounts.
     rate_g, spi_g, energy_g = measure(vmc_g, warmup_iters=500)
 
+    _, vmc_d = build_vmc("gumbel", sector="off")
+    rate_d, spi_d, energy_d = measure(vmc_d, warmup_iters=500)
+
     mol, vmc_e = build_vmc("exact")
     rate_e, spi_e, energy_e = measure(vmc_e, warmup_iters=25)
 
@@ -101,13 +113,19 @@ def main():
             {
                 "metric": "connected-det local-energy evals/sec/chip "
                 "(N2 STO-3G, SAMPLED pipeline: 16384 Gumbel uniques, "
-                "dynamic membership, full VMC step incl. SR, 25-step "
-                "scan, 500-iter warmup)",
+                "full VMC step incl. SR, 25-step scan, 500-iter "
+                "warmup; sector membership)",
                 "value": round(rate_g, 1),
                 "unit": "found-pairs/sec",
                 "vs_baseline": round(rate_g / baseline, 3),
                 "sec_per_iter": round(spi_g, 5),
                 "energy_last": energy_g,
+                "sampled_dynamic": {
+                    "found_pairs_per_sec": round(rate_d, 1),
+                    "vs_baseline": round(rate_d / baseline, 3),
+                    "sec_per_iter": round(spi_d, 5),
+                    "energy_last": energy_d,
+                },
                 "exact_summation": {
                     "found_pairs_per_sec": round(rate_e, 1),
                     "vs_baseline": round(rate_e / baseline, 3),

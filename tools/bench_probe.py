@@ -40,6 +40,9 @@ def main():
         MolConfig(name="N2", basis="sto-3g"),
         mols_dir="mols", run_fci=False, run_cisd=False,
     )
+    overrides = None
+    if "--pairs2" in sys.argv:
+        overrides = {"table_pairs_per_row": 1}
     vmc = VMC(
         mol,
         VMCConfig(
@@ -50,6 +53,10 @@ def main():
             grad_clip_norm=1.0,
             sr=SRConfig(max_indices_num=50),
             seed=0,
+            sector_membership=(
+                "off" if "--dyn" in sys.argv else "auto"
+            ),
+            engine_overrides=overrides,
         ),
         AnqsConfig(hidden_widths=(512,)),
     )
