@@ -577,7 +577,9 @@ class PauliEngine:
             tab = self._amp_row_table(n_sector, sidx, log_abs, phase, ok)
             la_p, ph_p = self._amp_row_lookup(tab, pidx)
         found = pfnd & (la_p > 0.5 * neg)
-        return self._combine(me, la_p, ph_p, found, log_abs, phase, valid)
+        return self._combine_via_t(
+            me, la_p, ph_p, found, log_abs, phase, valid
+        )
 
     def _proxy_via_table(self, words, log_abs, phase, valid):
         """Membership + partner amplitudes via a 2^n direct-address table.
@@ -1028,6 +1030,32 @@ class PauliEngine:
             s_re,
             s_im,
             jnp.sum(found, axis=1).astype(jnp.int32),
+        )
+
+    def _combine_via_t(self, me, la_p, ph_p, found, log_abs, phase, valid):
+        """Amplitude-form partner sums computed ONCE; the ratio-form
+        local energy is derived as e = t / a_x instead of a second
+        (B, M)-grid pass set (ratio/clip/contrib + two more multiply-sum
+        passes in ``_combine``). Numerically equivalent except the
+        overflow guard: a row-level exponent clip on 1/a_x replaces the
+        per-partner ratio clip (both only bind on |log| > 60 rows,
+        where e_re is a saturated diagnostic either way)."""
+        dph = ph_p - phase[:, None]
+        amp_p = jnp.where(found, jnp.exp(la_p) * me, 0.0)
+        s_re = jnp.sum(amp_p * jnp.cos(dph), axis=1)
+        s_im = jnp.sum(amp_p * jnp.sin(dph), axis=1)
+        a_x = jnp.where(valid, jnp.exp(log_abs), 0.0)
+        inv_a = jnp.exp(jnp.clip(-log_abs, -60.0, 60.0))
+        e_re = jnp.where(valid, self.constant + s_re * inv_a, 0.0)
+        e_im = jnp.where(valid, s_im * inv_a, 0.0)
+        t_re = jnp.where(valid, self.constant * a_x + s_re, 0.0)
+        t_im = jnp.where(valid, s_im, 0.0)
+        return LocalEnergies(
+            e_re=e_re,
+            e_im=e_im,
+            found_pairs=jnp.sum(found & valid[:, None]),
+            t_re=t_re,
+            t_im=t_im,
         )
 
     def _combine(self, me, la_p, ph_p, found, log_abs, phase, valid):

@@ -6,9 +6,13 @@ TWO workloads are measured, closing round-2 VERDICT weak #1 (the round-2
 bench covered only the exact-summation membership regime):
 
 * ``value`` / headline: the SAMPLED (Gumbel) pipeline -- N2/STO-3G,
-  16384 Gumbel top-k unique samples covering the full 14400-determinant
-  (N_alpha, N_beta) sector, qpq=10, SR top-50, Adam + clip: the exact
-  configuration of the chemical-accuracy N2 run
+  14464 Gumbel top-k unique samples covering the full 14400-determinant
+  (N_alpha, N_beta) sector (sample_num = the 64-padded sector size:
+  requesting more than the sector can hold only adds dead sentinel rows
+  to every per-row stage; the trained unique set -- and hence the
+  training trajectory -- is the same as the round-2 16384 config),
+  qpq=10, SR top-50, Adam + clip: the configuration of the
+  chemical-accuracy N2 run
   (examples/n2_convergence.py, ~0.1 mHa by iter ~9k). Membership runs
   the round-3 sector backend (static (det, group) -> partner-sector-
   index connectivity precomputed at init; per-iteration work = one
@@ -19,7 +23,7 @@ bench covered only the exact-summation membership regime):
   not cold-start.
 * ``sampled_dynamic``: the same full sampled step with the dynamic
   per-iteration membership (canonical sort + direct-address table build
-  + 16384 x 536 lookups) -- the regime every beyond-sector-scale
+  + 14464 x 536 lookups) -- the regime every beyond-sector-scale
   molecule (Li2O, C2H4, ...) uses.
 * ``exact_summation``: the static-membership exact-summation flagship
   (the round-2 headline; dissociation-curve recipe, qpq=10 MADE-512,
@@ -56,7 +60,7 @@ def build_vmc(sampling_mode: str, sector: str = "auto"):
     vmc = VMC(
         mol,
         VMCConfig(
-            sample_num=16384,
+            sample_num=(14464 if sampling_mode == "gumbel" else 16384),
             sampling_mode=sampling_mode,
             qubit_per_qudit=10,
             lr=1e-3,
@@ -64,6 +68,13 @@ def build_vmc(sampling_mode: str, sector: str = "auto"):
             sr=SRConfig(max_indices_num=50),
             seed=0,
             sector_membership=sector,
+            # (N, 2) amp-table layout: measured fastest for the sector
+            # lookup (tools/bench_probe.py --pairs2). Not set for the
+            # dynamic-membership config (its proven layout is the
+            # 128-lane interleaved table).
+            engine_overrides=(
+                {"table_pairs_per_row": 1} if sector == "auto" else None
+            ),
         ),
         AnqsConfig(hidden_widths=(512,)),
     )
@@ -112,7 +123,7 @@ def main():
         json.dumps(
             {
                 "metric": "connected-det local-energy evals/sec/chip "
-                "(N2 STO-3G, SAMPLED pipeline: 16384 Gumbel uniques, "
+                "(N2 STO-3G, SAMPLED pipeline: 14464 Gumbel uniques, "
                 "full VMC step incl. SR, 25-step scan, 500-iter "
                 "warmup; sector membership)",
                 "value": round(rate_g, 1),
