@@ -1101,6 +1101,7 @@ class VMC:
                 e = engine.local_energy_sector(
                     sw, la + c * 1e-12, ph, sv, self.sector_words,
                     self.sector_partner_idx, self.sector_partner_found,
+                    sector_pos=self.sector_pos,
                 )
                 return c + e.e_re.sum()
         else:
@@ -1177,19 +1178,18 @@ class VMC:
                 state = ckptr.restore(os.path.abspath(path), template)
             except Exception:
                 # Optimizer-state structure changed across versions (e.g.
-                # the apply_if_finite wrapper): restore params/key/iter
-                # and start the optimizer fresh.
-                state = ckptr.restore(
-                    os.path.abspath(path),
-                    {
-                        "params": params,
-                        "key": key,
-                        "iter": jnp.asarray(0),
-                    },
+                # the apply_if_finite wrapper): raw template-free restore,
+                # keep params/key/iter, start the optimizer fresh.
+                raw = ocp.PyTreeCheckpointer().restore(
+                    os.path.abspath(path)
                 )
-                state = {**state, "opt_state": self.opt.init(
-                    state["params"]
-                )}
+                restored = jax.tree.map(jnp.asarray, raw["params"])
+                state = {
+                    "params": restored,
+                    "key": jnp.asarray(raw["key"], jnp.uint32),
+                    "iter": jnp.asarray(raw["iter"]),
+                    "opt_state": self.opt.init(restored),
+                }
         return (
             state["params"],
             state["opt_state"],
