@@ -4,17 +4,15 @@ Usage: python examples/n2_convergence.py [iters]
 Writes runs/n2/result.csv; prints progress and the final verdict.
 
 Configuration (found by capacity A/B against the exact FCI vector, see
-docs/DESIGN_NOTES.md): 16384 Gumbel samples cover the full
-14400-determinant (N_alpha, N_beta) sector every iteration (the reported
-energy is the exact Rayleigh quotient of the ansatz), qubit_per_qudit=10
-(two 1024-way qudits -- the coarser autoregressive factorization is what
-breaks the 21 mHa plateau of the qpq=5 ansatz), SR top-50, Adam 1e-3,
-global-norm grad clip 1.0. Crosses 1.6 mHa around iteration ~5k and
-reaches ~0.1 mHa by 9k on a single v5e (~0.16 s/iter).
-
-bench.py measures a different (throughput-flagship) configuration
-deliberately: qpq=5 maximizes found-pairs/sec; this file maximizes
-accuracy. Both are honest single-compile programs.
+docs/DESIGN_NOTES.md): 14464 Gumbel samples (the 64-padded sector size)
+cover the full 14400-determinant (N_alpha, N_beta) sector every
+iteration (the reported energy is the exact Rayleigh quotient of the
+ansatz), qubit_per_qudit=10 (two 1024-way qudits -- the coarser
+autoregressive factorization is what breaks the 21 mHa plateau of the
+qpq=5 ansatz), SR top-50, Adam 1e-3, global-norm grad clip 1.0, sector
+membership (round-3). Crosses 1.6 mHa around iteration ~5k; ~59 ms/iter
+on a single v5e. The unbiased full-energy estimator is recorded every
+500 iterations; bench.py measures this same configuration.
 """
 
 import os
@@ -42,23 +40,32 @@ def main():
     vmc = VMC(
         mol,
         VMCConfig(
-            sample_num=16384,
+            sample_num=14464,
             sampling_mode="gumbel",
             qubit_per_qudit=10,
             lr=1e-3,
             grad_clip_norm=1.0,
             sr=SRConfig(max_indices_num=50),
+            full_energy_period=500,
             seed=0,
+            engine_overrides={"table_pairs_per_row": 1},
         ),
         AnqsConfig(hidden_widths=(512,)),
-        run_dir="runs/n2",
+        run_dir=(sys.argv[2] if len(sys.argv) > 2 else "runs/n2"),
     )
 
     t0 = time.perf_counter()
     state = {"best": 1e9, "hit": None}
 
+    import numpy as np
+
     def progress(it, row):
         gap = row["energy"] - mol.fci_energy
+        fe = row.get("full_energy", float("nan"))
+        if np.isfinite(fe):
+            print(f"iter {it:6d} FULL {fe:+.6f} "
+                  f"(gap {1e3 * (fe - mol.fci_energy):+.3f} mHa)",
+                  flush=True)
         if row["energy"] < state["best"]:
             state["best"] = row["energy"]
             if gap < 1.6e-3 and state["hit"] is None:
@@ -73,7 +80,7 @@ def main():
                   f"[{time.perf_counter() - t0:.0f}s]", flush=True)
 
     params, opt_state, history, best = vmc.run(
-        iter_num=iters, on_iter=progress, checkpoint_every=5000,
+        iter_num=iters, on_iter=progress, checkpoint_every=2500,
         steps_per_call=25,
     )
     gap = best["energy"] - mol.fci_energy
