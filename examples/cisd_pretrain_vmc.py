@@ -113,7 +113,16 @@ def main():
                 "prefilter_row_capacity": 768,
                 "prefilter_dense_rows": 4096,
             },
-            full_energy_period=500,
+            # The unbiased full-energy measurement evaluates B x M
+            # connected amplitudes through the network; at C2H4 scale
+            # (8192 x 20776 = 170M) its intermediates exhaust v5e HBM
+            # and the TPU worker crashes DETERMINISTICALLY at the first
+            # period boundary (observed twice at iter 500). Gate it on
+            # the workload size.
+            full_energy_period=(
+                500 if sample_num * mol.qubit_ham.n_groups < (1 << 27)
+                else None
+            ),
             seed=0,
             iter_num=iters,
         ),
