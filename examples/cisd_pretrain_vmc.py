@@ -91,8 +91,11 @@ def main():
         anqs_cfg = AnqsConfig(net_type="nade", hidden_widths=(128, 128),
                               aux_hidden_widths=(128, 128))
     elif net == "transformer":
+        # logit_cap: the uncapped transformer collapses onto the HF peak
+        # and freezes (round-2 c2h4 run; reproduced cold on H2O).
         anqs_cfg = AnqsConfig(net_type="transformer", d_model=128,
-                              n_heads=8, n_layers=3, d_ff=512)
+                              n_heads=8, n_layers=3, d_ff=512,
+                              logit_cap=4.0)
     else:
         anqs_cfg = AnqsConfig(hidden_widths=(2048,))
     vmc = VMC(
