@@ -11,7 +11,10 @@ the HF peak. Beating the CISD energy variationally is then the crisp
 success criterion even where FCI is uncomputable.
 
 Usage: python examples/cisd_pretrain_vmc.py <molecule> [basis] [iters]
-       [sample_num] [net] [qpq]
+       [sample_num] [net] [qpq] [theor]
+(theor=0 switches the estimator to empirical Gumbel weights -- the
+peaked-regime escape hatch: Born weights concentrate all gradient mass
+on the dominant determinant and the transformer collapses back onto it)
 e.g.   python examples/cisd_pretrain_vmc.py C2H4 6-31g 4000 8192 made 4
        python examples/cisd_pretrain_vmc.py Li2O sto-3g 4000 8192 made 6
 Writes runs/<mol>_cisd_<net>/.
@@ -47,6 +50,7 @@ def main():
     sample_num = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
     net = sys.argv[5] if len(sys.argv) > 5 else "made"
     qpq = int(sys.argv[6]) if len(sys.argv) > 6 else 4
+    theor = bool(int(sys.argv[7])) if len(sys.argv) > 7 else True
 
     mol = Molecule.create(
         MolConfig(name=name, basis=basis), mols_dir="mols", run_fci=False,
@@ -86,7 +90,9 @@ def main():
     probs, phases = amplitude_targets_from_coefs(coef)
     words = pack_dets(dets, mol.qubit_num)
 
-    run_dir = f"runs/{name.lower()}_cisd_{net}"
+    run_dir = f"runs/{name.lower()}_cisd_{net}" + (
+        "" if theor else "_emp"
+    )
     if net == "nade":
         anqs_cfg = AnqsConfig(net_type="nade", hidden_widths=(128, 128),
                               aux_hidden_widths=(128, 128))
@@ -107,7 +113,13 @@ def main():
             lr=3e-4,
             lr_schedule=((0, 3e-4), (1500, 1e-4), (3000, 3e-5)),
             grad_clip_norm=0.5,
-            sr=SRConfig(max_indices_num=50),
+            # MinSR destroys the CISD-pretrained transformer within ~50
+            # iterations (53% corr -> HF; measured A/B on H2O: plain
+            # Adam climbs steadily from the same checkpoint) -- the
+            # top-k sample-space preconditioner misbehaves on attention/
+            # layernorm parameter scales. MADE/NADE keep SR.
+            sr=(None if net == "transformer"
+                else SRConfig(max_indices_num=50)),
             # No HF-neighborhood pinning: the CISD-pretrained sample set
             # is densely self-connected (every pair of CISD support dets
             # is within 4 excitations), which is also why the prefilter
@@ -128,6 +140,7 @@ def main():
             ),
             seed=0,
             iter_num=iters,
+            use_theor_freqs=theor,
         ),
         anqs_cfg,
         run_dir=run_dir,
