@@ -110,8 +110,14 @@ def main():
             sample_num=sample_num,
             sampling_mode="gumbel",
             qubit_per_qudit=qpq,
-            lr=3e-4,
-            lr_schedule=((0, 3e-4), (1500, 1e-4), (3000, 3e-5)),
+            # Transformer: lr 3e-4 Adam also destroys the warm start
+            # (collapse to HF by iter ~100; 1e-4 climbs -- H2O A/B).
+            lr=(1e-4 if net == "transformer" else 3e-4),
+            lr_schedule=(
+                ((0, 1e-4), (3000, 3e-5))
+                if net == "transformer"
+                else ((0, 3e-4), (1500, 1e-4), (3000, 3e-5))
+            ),
             grad_clip_norm=0.5,
             # MinSR destroys the CISD-pretrained transformer within ~50
             # iterations (53% corr -> HF; measured A/B on H2O: plain
