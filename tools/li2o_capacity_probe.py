@@ -126,7 +126,12 @@ def main():
               f"ce {row['cross_entropy']:.6f} "
               f"[{time.perf_counter() - t0:.0f}s]", flush=True)
 
-    stages = ((iters // 2, 1e-3), (iters // 4, 3e-4), (iters // 4, 1e-4))
+    stages = (
+        (iters * 3 // 8, 1e-3),
+        (iters // 4, 3e-4),
+        (iters // 4, 1e-4),
+        (iters // 8, 3e-5),
+    )
     for st_iters, lr in stages:
         params, _ = pretrain(
             vmc.anqs, params, words, probs, phases,
