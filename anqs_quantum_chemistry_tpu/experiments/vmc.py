@@ -76,6 +76,13 @@ class VMCConfig(Config):
     grad_renorm: bool = False  # grad <- grad/||grad|| (process_grad.py:66-70)
     full_energy_period: Optional[int] = None
     use_theor_freqs: bool = True  # Born |psi|^2 reweighting vs counts
+    # Gradient-weight temperature (estimators stay Born): T > 1 weights
+    # the surrogate loss by |psi|^(2/T), boosting the amplitude tail's
+    # gradient signal. The round-3 Li2O diagnosis shows the >40-qubit
+    # plateaus are amplitude-profile optimization failures under Born
+    # weights; T -> inf approaches the empirical-weight regime that
+    # un-froze the transformer. 1.0 = exact prior behavior.
+    grad_weight_temperature: float = 1.0
     couple_spin_flip: bool = False  # close sample set under alpha<->beta
     # Seed every iteration's unique set with the K Hamiltonian-connected
     # neighbors of the reference (HF) determinant with the largest
@@ -910,17 +917,34 @@ class VMC:
         d_re = jnp.where(valid, e.e_re - mean_re, 0.0)
         d_im = jnp.where(valid, e.e_im - mean_im, 0.0)
 
+        # Tail-boosted GRADIENT weights (estimators above stay Born):
+        # T > 1 flattens |psi|^(2/T), shifting gradient mass from the
+        # dominant determinant onto the amplitude tail -- the Li2O/C2H4
+        # plateaus are pure amplitude-profile optimization failures with
+        # Born weights (docs/DESIGN_NOTES round-3 decomposition), and
+        # T -> inf recovers the empirical-weight escape that un-froze
+        # the transformer. Biased gradient, unbiased energy.
+        temp = getattr(cfg, "grad_weight_temperature", 1.0) or 1.0
+        if cfg.use_theor_freqs and temp != 1.0:
+            la_max = jnp.max(jnp.where(valid, la, -jnp.inf))
+            tempered = jnp.where(
+                valid, jnp.exp((2.0 / temp) * (la - la_max)), 0.0
+            )
+            grad_freqs = tempered / jnp.maximum(jnp.sum(tempered), 1e-30)
+        else:
+            grad_freqs = freqs
+
         def loss_fn(p):
             la_g, ph_g = self.anqs.log_psi(p, sorted_words)
             la_g = jnp.where(valid, la_g, 0.0)
             ph_g = jnp.where(valid, ph_g, 0.0)
-            return 2.0 * jnp.sum(freqs * (la_g * d_re + ph_g * d_im))
+            return 2.0 * jnp.sum(grad_freqs * (la_g * d_re + ph_g * d_im))
 
         grads = jax.grad(loss_fn)(params)
 
         if cfg.sr is not None:
             grads = sr_transform(
-                self.anqs, params, grads, sorted_words, freqs, cfg.sr,
+                self.anqs, params, grads, sorted_words, grad_freqs, cfg.sr,
             )
         if cfg.grad_clip_norm is not None:
             grads, _ = _clip(grads, cfg.grad_clip_norm)
