@@ -11,7 +11,7 @@ the HF peak. Beating the CISD energy variationally is then the crisp
 success criterion even where FCI is uncomputable.
 
 Usage: python examples/cisd_pretrain_vmc.py <molecule> [basis] [iters]
-       [sample_num] [net] [qpq] [theor]
+       [sample_num] [net] [qpq] [theor] [grad_temp]
 (theor=0 switches the estimator to empirical Gumbel weights -- the
 peaked-regime escape hatch: Born weights concentrate all gradient mass
 on the dominant determinant and the transformer collapses back onto it)
@@ -51,6 +51,10 @@ def main():
     net = sys.argv[5] if len(sys.argv) > 5 else "made"
     qpq = int(sys.argv[6]) if len(sys.argv) > 6 else 4
     theor = bool(int(sys.argv[7])) if len(sys.argv) > 7 else True
+    # Tail-boosted gradient weights |psi|^(2/T) (estimators stay Born):
+    # the round-3 Li2O decomposition pinned the >40q plateaus on the
+    # Born gradient's vanishing tail mass (docs/DESIGN_NOTES.md).
+    grad_temp = float(sys.argv[8]) if len(sys.argv) > 8 else 1.0
 
     mol = Molecule.create(
         MolConfig(name=name, basis=basis), mols_dir="mols", run_fci=False,
@@ -92,7 +96,7 @@ def main():
 
     run_dir = f"runs/{name.lower()}_cisd_{net}" + (
         "" if theor else "_emp"
-    )
+    ) + ("" if grad_temp == 1.0 else f"_t{grad_temp:g}")
     if net == "nade":
         anqs_cfg = AnqsConfig(net_type="nade", hidden_widths=(128, 128),
                               aux_hidden_widths=(128, 128))
@@ -147,6 +151,7 @@ def main():
             seed=0,
             iter_num=iters,
             use_theor_freqs=theor,
+            grad_weight_temperature=grad_temp,
         ),
         anqs_cfg,
         run_dir=run_dir,

@@ -7,7 +7,12 @@ Counterpart of the reference sandbox entry points
 (reference: nqs/nqs/energy_opt_exp_sandbox.py:1-122), as a proper script.
 """
 
+import os
 import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
 from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
