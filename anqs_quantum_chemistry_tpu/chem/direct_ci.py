@@ -245,6 +245,49 @@ def make_sigma(
     return sigma, sa_pad, sb_pad
 
 
+def host_sigma_f64(
+    c: np.ndarray,
+    h_a: np.ndarray,
+    h_b: np.ndarray,
+    g2p: np.ndarray,
+    src_a: np.ndarray,
+    w_a: np.ndarray,
+    src_b: np.ndarray,
+    w_b: np.ndarray,
+    block: int = 64,
+) -> np.ndarray:
+    """Numpy f64 mirror of the device sigma (H c, no shift).
+
+    The TPU AOT toolchain refuses to compile the f64 variant of the
+    device sigma at Li2O scale (tpu_compile_helper exit 1), so the final
+    high-precision Rayleigh quotient falls back to this blocked host
+    evaluation (~minutes, once per solve).  All operands f64, unpadded
+    or padded alike.
+    """
+    c = np.asarray(c, np.float64)
+    s1 = np.asarray(h_a, np.float64) @ c
+    s2 = c @ np.asarray(h_b, np.float64).T
+    g2p = np.asarray(g2p, np.float64)
+    w_a64 = np.asarray(w_a, np.float64)
+    w_b64 = np.asarray(w_b, np.float64)
+    s3 = np.zeros_like(c)
+    ct = np.ascontiguousarray(c.T)  # (sb, sa)
+    p_num = g2p.shape[0]
+    sb = c.shape[1]
+    for cols in range(0, sb, block):
+        b = min(block, sb - cols)
+        src_blk = src_b[:, cols:cols + b]  # (P, b)
+        w_blk = w_b64[:, cols:cols + b]
+        n_blk = ct[src_blk] * w_blk[:, :, None]  # (P, b, sa)
+        m_blk = (g2p @ n_blk.reshape(p_num, -1)).reshape(
+            p_num, b, -1
+        )
+        m_t = m_blk.transpose(0, 2, 1)  # (P, sa, b)
+        picked = np.take_along_axis(m_t, src_a[:, :, None], axis=1)
+        s3[:, cols:cols + b] = np.einsum("ps,psb->sb", w_a64, picked)
+    return s1 + s2 + s3
+
+
 # ---------------------------------------------------------------------------
 # Davidson
 # ---------------------------------------------------------------------------
@@ -346,8 +389,14 @@ def direct_ci_ground_state(
         mask[:s_a, :s_b] = True
         diag_dev = jnp.where(jnp.asarray(mask), diag_dev, 1e6)
 
-    mv = jax.jit(
-        lambda c: sigma(
+    # Tables ride as jit ARGUMENTS, not closure constants: baked-in
+    # constants inline the ~170 MB padded same-spin matrices into the
+    # HLO, which the axon remote-compile helper rejects outright
+    # (HTTP 413) -- same policy as the VMC engine's threaded tables.
+    sigma_jit = jax.jit(sigma)
+
+    def mv(c):
+        return sigma_jit(
             c,
             dev["h_a"],
             dev["h_b"],
@@ -356,9 +405,8 @@ def direct_ci_ground_state(
             dev["w_a"],
             dev["src_b"],
             dev["w_b"],
-            shift,
+            jnp.float32(shift),
         )
-    )
 
     def dot(x, y) -> float:
         return float(
@@ -421,9 +469,11 @@ def direct_ci_ground_state(
     energy_f32 = theta + hf_electronic + e_nuc
     energy = energy_f32
     if final_f64:
-        s64 = jax.jit(
-            lambda c: sigma64(
-                c,
+        def rq_device():
+            sigma64_jit = jax.jit(sigma64)
+            c64 = ritz.astype(jnp.float64)
+            hc = sigma64_jit(
+                c64,
                 dev["h_a"].astype(jnp.float64),
                 dev["h_b"].astype(jnp.float64),
                 dev["g2p"].astype(jnp.float64),
@@ -433,10 +483,27 @@ def direct_ci_ground_state(
                 dev["w_b"].astype(jnp.float64),
                 jnp.float64(0.0),
             )
-        )
-        c64 = ritz.astype(jnp.float64)
-        num = dot(c64, s64(c64))
-        den = dot(c64, c64)
+            return dot(c64, hc), dot(c64, c64)
+
+        def rq_host():
+            c64 = np.asarray(ritz, np.float64)
+            hc = host_sigma_f64(
+                c64,
+                np.asarray(dev["h_a"]),
+                np.asarray(dev["h_b"]),
+                g2p,
+                np.asarray(dev["src_a"]),
+                np.asarray(dev["w_a"]),
+                np.asarray(dev["src_b"]),
+                np.asarray(dev["w_b"]),
+            )
+            return float(np.vdot(c64, hc)), float(np.vdot(c64, c64))
+
+        try:
+            num, den = rq_device()
+        except Exception as exc:  # TPU AOT cannot compile f64 sigma
+            verbose(f"f64 device RQ unavailable ({exc!r}); host fallback")
+            num, den = rq_host()
         energy = num / den + e_nuc
     ipr_val = float(jnp.sum(ritz.astype(jnp.float64) ** 4))
     coeffs = None

@@ -122,6 +122,56 @@ def test_sigma_matches_sparse_hamiltonian(lih):
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)
 
 
+def test_host_sigma_f64_matches_device_oracle(lih):
+    """host_sigma_f64 (the f64 Rayleigh-quotient fallback for when the
+    TPU AOT toolchain rejects the f64 device sigma at Li2O scale)
+    reproduces H @ c against the brute-force sector Hamiltonian."""
+    from anqs_quantum_chemistry_tpu.chem.direct_ci import (
+        _pad_tables,
+        host_sigma_f64,
+        interleave_parity,
+    )
+    from anqs_quantum_chemistry_tpu.chem.fci import (
+        sector_determinants,
+        sparse_hamiltonian,
+    )
+
+    mol = lih
+    n_orb = mol.h1.shape[0] // 2
+    str_a = ci_strings(n_orb, mol.n_alpha)
+    s = len(str_a)
+    h_ss = same_spin_dense(str_a, mol.h1, mol.v)
+    src, w = excitation_tables(str_a, n_orb)
+    _, g2 = spatial_from_spin_orbital(mol.h1, mol.v)
+    g2p = g2.reshape(n_orb**2, n_orb**2)
+
+    rng = np.random.default_rng(1)
+    c = rng.standard_normal((s, s))
+    got = host_sigma_f64(
+        c, h_ss, h_ss, g2p, src, w, src, w, block=13
+    )
+
+    dets = sector_determinants(2 * n_orb, mol.n_alpha, mol.n_beta)
+    h_sp = sparse_hamiltonian(dets, mol.h1, mol.v)
+    det_index = {d: i for i, d in enumerate(dets)}
+    alpha_bits = np.zeros(s, np.int64)
+    for k in range(n_orb):
+        alpha_bits += ((str_a >> k) & 1) << (2 * k)
+    grid = np.array(
+        [
+            [det_index[int(a | (b << 1))] for b in alpha_bits]
+            for a in alpha_bits
+        ]
+    )
+    par = interleave_parity(str_a, str_a, n_orb).astype(np.float64)
+    c_flat = np.zeros(len(dets))
+    c_flat[grid.ravel()] = (par * c).ravel()
+    want = par * (h_sp @ c_flat)[grid.ravel()].reshape(s, s)
+    # h_ss is stored f32 (like the device tables the production path
+    # upcasts), so agreement is f32-input-limited, not f64-limited.
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+
+
 def test_molecule_auto_direct_ci_beyond_eigsh_cap():
     """Molecule.create runs direct CI automatically for >20-qubit sectors
     under MAX_DIRECT_CI_NDET (LiH/6-31G: 22 qubits, 3025 dets), and the
