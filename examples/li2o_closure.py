@@ -35,7 +35,7 @@ FCI = -88.705450  # in-tree direct-CI anchor (runs/li2o_fci_summary.json)
 
 def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "runs/li2o_cisd_nade_t2"
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 24000
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 16000
     temp = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
 
     mol = Molecule.create(
@@ -51,7 +51,7 @@ def main():
             sampling_mode="gumbel",
             qubit_per_qudit=6,
             lr=1e-4,
-            lr_schedule=((0, 1e-4), (10000, 3e-5), (18000, 1e-5)),
+            lr_schedule=((0, 1e-4), (8000, 3e-5), (13000, 1e-5)),
             grad_clip_norm=0.5,
             sr=SRConfig(max_indices_num=50),
             engine_overrides={
