@@ -69,6 +69,13 @@ class AnqsConfig:
     # log-amplitude contrast can run away until freq-weighted gradients
     # underflow f32 to exactly zero and training freezes).
     logit_cap: object = None  # None | float
+    # Matmul multiply precision inside the nets ('highest' | 'float32' |
+    # 'bfloat16' | None = backend default). The TPU default multiplies
+    # f32 operands in bf16; that noise floor stalls SUPERVISED
+    # distillation of peaked targets (H2O CISD distill: CE plateaus at
+    # 0.43 vs the 0.188 entropy floor on the v5e, converges on CPU) --
+    # set 'highest' for transformer pretraining on TPU.
+    matmul_precision: object = None
     # transformer hyperparameters (net_type='transformer'):
     d_model: int = 64
     n_heads: int = 4
@@ -233,6 +240,16 @@ class ANQS:
             )
         else:
             raise ValueError(self.config.net_type)
+
+        if self.config.matmul_precision:
+            raw_apply = self._net_apply
+            prec = str(self.config.matmul_precision)
+
+            def _apply_pinned(spec, params, x, _raw=raw_apply, _p=prec):
+                with jax.default_matmul_precision(_p):
+                    return _raw(spec, params, x)
+
+            self._net_apply = _apply_pinned
 
     # ------------------------------------------------------------------
     def init(self, key) -> Dict:

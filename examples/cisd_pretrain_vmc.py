@@ -103,9 +103,12 @@ def main():
     elif net == "transformer":
         # logit_cap: the uncapped transformer collapses onto the HF peak
         # and freezes (round-2 c2h4 run; reproduced cold on H2O).
+        # matmul_precision: the TPU's default bf16 multiply stalls the
+        # CISD distillation of peaked targets (CE plateaus at 0.43 vs
+        # the 0.188 entropy floor on H2O); pin to true f32.
         anqs_cfg = AnqsConfig(net_type="transformer", d_model=128,
                               n_heads=8, n_layers=3, d_ff=512,
-                              logit_cap=4.0)
+                              logit_cap=4.0, matmul_precision="highest")
     else:
         anqs_cfg = AnqsConfig(hidden_widths=(2048,))
     vmc = VMC(
