@@ -34,9 +34,11 @@ run_job() {  # name timeout_s cmd...
 }
 
 run_job li2o_fci_anchor 10800 python tools/li2o_fci_anchor.py
+run_job h2o_ladder 5400 \
+  python examples/ladder_rerun.py H2O 16000 runs/h2o_r3
+run_job beh2_ladder 5400 \
+  python examples/ladder_rerun.py BeH2 16000 runs/beh2_r3
 run_job li2o_closure 12000 python examples/li2o_closure.py
 run_job li2o_capacity 5400 python tools/li2o_capacity_probe.py \
   131072 32000 64 6
 echo "QUEUE2 DONE $(date -u)" >> runs/logs/queue.log
-# Ladder reruns (H2O/BeH2) run on the env-cleaned CPU in parallel --
-# they are small enough and the TPU slots above are the scarce resource.
