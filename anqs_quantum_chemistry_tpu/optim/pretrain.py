@@ -55,10 +55,21 @@ def pretrain(
     phase_weight: float = 1.0,
     log_every: int = 200,
     on_log=None,
+    keep_best: bool = True,
 ):
     """Adam minimization of the cross-entropy + phase MSE; returns
     (params, history). ``words`` larger than ``batch`` are subsampled by
-    probability each step (an unbiased estimator of the full loss)."""
+    probability each step (an unbiased estimator of the full loss).
+
+    ``keep_best`` tracks the lowest-loss parameters on device and
+    returns those instead of the final ones: Adam occasionally diverges
+    mid-distillation on peaked targets (observed on the H2O transformer:
+    CE 0.188 -> 0.428 at step ~2000, never recovering -- the broken
+    warm start then collapses the whole VMC run to HF), and rollback
+    makes the warm start robust to it. With minibatched targets the
+    per-step loss is a noisy estimate, so "best" is approximate there;
+    on full-batch supports (n <= batch) it is exact. NaN losses never
+    replace the snapshot (NaN < x is False)."""
     n = words.shape[0]
     words = jnp.asarray(words)
     probs_j = jnp.asarray(probs)
@@ -75,7 +86,7 @@ def pretrain(
         return ce + phase_weight * pml, (ce, pml)
 
     @jax.jit
-    def step(p, o, k):
+    def step(p, o, k, best_l, best_p):
         if full:
             w, tp, tph = words, probs_j, phases_j
             wgt = jnp.ones_like(tp)
@@ -92,24 +103,36 @@ def pretrain(
         (l, (ce, pml)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(p, w, tp, tph, wgt)
+        # Snapshot the pre-update params that PRODUCED loss l (cheap
+        # on-device selects; no host sync).
+        better = l < best_l
+        best_l = jnp.where(better, l, best_l)
+        best_p = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), p, best_p
+        )
         updates, o = opt.update(grads, o, p)
         p = optax.apply_updates(p, updates)
-        return p, o, k, l, ce, pml
+        return p, o, k, l, ce, pml, best_l, best_p
 
+    best_l = jnp.asarray(jnp.inf, jnp.float32)
+    best_p = params
     history = []
     for it in range(iters):
-        params, opt_state, key, l, ce, pml = step(params, opt_state, key)
+        params, opt_state, key, l, ce, pml, best_l, best_p = step(
+            params, opt_state, key, best_l, best_p
+        )
         if it % log_every == 0 or it == iters - 1:
             row = {
                 "iter": it,
                 "loss": float(l),
                 "cross_entropy": float(ce),
                 "phase_mse": float(pml),
+                "best_loss": float(best_l),
             }
             history.append(row)
             if on_log is not None:
                 on_log(row)
-    return params, history
+    return (best_p if keep_best else params), history
 
 
 def pack_dets(dets, qubit_num: int):

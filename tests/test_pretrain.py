@@ -63,3 +63,58 @@ def test_cisd_pretrain_reaches_cisd_energy():
     # to be the final answer).
     assert energy < mol.hf_energy - 3e-3, (energy, mol.hf_energy)
     assert abs(energy - e_cisd) < 2e-2, (energy, e_cisd)
+
+
+def test_pretrain_keep_best_rolls_back_divergence():
+    """A deliberately divergent stage (huge lr) must return the best
+    snapshot, not the blown-up final params (the H2O-transformer rerun
+    failure mode: CE 0.188 -> 0.428 mid-distillation, never recovering,
+    then VMC collapses to HF from the broken warm start)."""
+    mol = Molecule.create(
+        MolConfig(name="H2"), mols_dir="mols", run_fci=False
+    )
+    hf_det = int(np.asarray(mol.hf_det).ravel()[0])
+    _, dets, coef = fci_mod.cisd_ground_state(
+        mol.h1, mol.v, hf_det, mol.e_nuc
+    )
+    probs, phases = amplitude_targets_from_coefs(coef)
+    words = pack_dets(dets, mol.qubit_num)
+
+    vmc = VMC(
+        mol,
+        VMCConfig(sampling_mode="exact", qubit_per_qudit=2, seed=0),
+        AnqsConfig(hidden_widths=(32,)),
+    )
+    params, _, _ = vmc.init_state()
+    key = jax.random.PRNGKey(0)
+    # Converge a little first, then blow it up.
+    params, hist1 = pretrain(
+        vmc.anqs, params, words, probs, phases, key, iters=300, lr=2e-3
+    )
+    best_after_1 = hist1[-1]["best_loss"]
+    params_div, hist2 = pretrain(
+        vmc.anqs, params, words, probs, phases, key, iters=200, lr=50.0
+    )
+    # The divergent stage's final per-step loss is far above its best
+    # snapshot; the returned params must achieve (close to) the best.
+    def loss_of(p):
+        import jax.numpy as jnp
+        la, ph = vmc.anqs.log_psi(p, jnp.asarray(words))
+        import numpy as _np
+        tp = _np.asarray(probs)
+        ce = -2.0 * float((tp * _np.asarray(la, _np.float64)).sum())
+        dph = _np.asarray(ph, _np.float64) - _np.asarray(phases)
+        return ce + float((tp * dph * dph).sum())
+
+    returned = loss_of(params_div)
+    assert returned <= hist2[-1]["best_loss"] + 1e-3, (
+        returned, hist2[-1]
+    )
+    # And it never got worse than where stage 1 left off.
+    assert returned <= best_after_1 + 1e-3, (returned, best_after_1)
+    # keep_best=False really returns the (diverged) final params.
+    params_raw, hist3 = pretrain(
+        vmc.anqs, params, words, probs, phases, key,
+        iters=200, lr=50.0, keep_best=False,
+    )
+    assert loss_of(params_raw) > loss_of(params_div) + 0.1
