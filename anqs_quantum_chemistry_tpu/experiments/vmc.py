@@ -152,6 +152,30 @@ class VMCConfig(Config):
     overflow_policy: str = "escalate"  # 'escalate' | 'raise' | 'ignore'
     overflow_threshold: int = 0
     max_overflow_escalations: int = 6
+    # Distillation-interleaved VMC (Li2O closure lever #2; no reference
+    # counterpart -- a TPU-rebuild capability like optim/pretrain.py).
+    # Every ``distill_period`` VMC iterations one supervised cycle runs:
+    # sample the current support, build the imaginary-time target
+    # |phi> = (1 - tau(H - E))|psi> restricted to it from the ALREADY
+    # computed local energies (zero extra Hamiltonian work), then take
+    # ``distill_steps`` Adam steps of a supervised loss toward it. The
+    # round-3 Li2O diagnosis showed the plateau is a pure
+    # amplitude-profile optimization failure (Born-weighted VMC
+    # gradients underweight the tail) while plain supervised
+    # distillation drives the same ansatz to +1.0 mHa -- this brings the
+    # supervised optimizer INTO the loop with self-generated targets.
+    distill_period: int = 0  # 0 = off
+    distill_steps: int = 100
+    distill_tau: float = 0.05
+    distill_lr: float = 1e-3
+    # 'ce': cross-entropy toward |phi|^2 (optimum q = |phi|^2 on the
+    # support). 'logmse': offset-free weighted regression of log|psi|
+    # onto log|phi| -- its optimum is the target PROFILE for any
+    # positive weights, so tempered weights (distill_temperature > 1,
+    # inf -> uniform) can hammer the tail without biasing the target.
+    distill_loss: str = "ce"
+    distill_temperature: float = 1.0
+    distill_phase_weight: float = 1.0
 
 
 class VMC:
@@ -228,6 +252,7 @@ class VMC:
 
         self._step_cache = {}
         self._multi_step_cache = {}
+        self._distill_cache = {}
         self._full_energy_jit = None
         self._step = self._get_step()
 
@@ -782,10 +807,14 @@ class VMC:
         self._full_energy_jit = None
         self._step = self._get_step()
 
-    def _step_body(
-        self, params, opt_state, key, cfg, sampling_config, opt,
-        budget=None,
+    def _support_and_eloc(
+        self, params, key, cfg, sampling_config, budget=None
     ):
+        """Shared prelude of the VMC step and the distillation cycle:
+        sample (or enumerate) the unique-determinant support, canonical-
+        sort/shard it, evaluate amplitudes and sample-aware local
+        energies. Returns (key, sorted_words, weights, valid, stats,
+        la, ph, e)."""
         if sampling_config.mode == "exact":
             # Exact summation over the pre-enumerated (already sorted)
             # sector; Born weights; sentinel pad rows carry valid=False.
@@ -883,6 +912,17 @@ class VMC:
             )
         else:
             e = self.engine.local_energy_proxy(sorted_words, la, ph, valid)
+        return key, sorted_words, weights, valid, stats, la, ph, e
+
+    def _step_body(
+        self, params, opt_state, key, cfg, sampling_config, opt,
+        budget=None,
+    ):
+        key, sorted_words, weights, valid, stats, la, ph, e = (
+            self._support_and_eloc(
+                params, key, cfg, sampling_config, budget=budget
+            )
+        )
 
         # Born reweighting over unique samples (use_theor_freqs default:
         # reference compute_local_energies.py:107-113); empirical counts
@@ -1003,6 +1043,113 @@ class VMC:
             aux = (sorted_words, la, ph, valid)
             return params, opt_state, key, metrics, aux
         return params, opt_state, key, metrics
+
+    # ------------------------------------------------------------------
+    # Distillation-interleaved VMC (config: distill_period etc.)
+    # ------------------------------------------------------------------
+    def _distill_body(self, params, dopt_state, key, cfg, samp, dopt,
+                      budget=None):
+        """One distillation cycle: sample -> imaginary-time targets from
+        the sample's own local energies -> ``distill_steps`` supervised
+        Adam steps (lax.scan) with best-loss rollback (the divergence
+        guard proven out in optim/pretrain.py)."""
+        key, sorted_words, _w, valid, _s, la, ph, e = (
+            self._support_and_eloc(params, key, cfg, samp, budget=budget)
+        )
+        la_t, ph_t, m_re = it_targets(
+            la, ph, e.e_re, e.e_im, valid, cfg.distill_tau
+        )
+        la_t = jax.lax.stop_gradient(la_t)
+        ph_t = jax.lax.stop_gradient(ph_t)
+        sorted_words = jax.lax.stop_gradient(sorted_words)
+
+        # Target Born weights over the support; tempered variant for the
+        # profile-regression loss (optimum is weight-independent there).
+        def _soft(logits):
+            z = jnp.where(valid, logits, -jnp.inf)
+            z = z - jnp.max(z)
+            u = jnp.where(valid, jnp.exp(z), 0.0)
+            return u / jnp.maximum(jnp.sum(u), 1e-30)
+
+        p_t = _soft(2.0 * la_t)
+        temp = cfg.distill_temperature or 1.0
+        w_l = p_t if cfg.distill_loss == "ce" else _soft(2.0 * la_t / temp)
+
+        phase_weight = cfg.distill_phase_weight
+        use_ce = cfg.distill_loss == "ce"
+
+        def sup_loss(prm):
+            la_g, ph_g = self.anqs.log_psi(prm, sorted_words)
+            la_g = jnp.where(valid, la_g, 0.0)
+            if use_ce:
+                amp_l = -2.0 * jnp.sum(p_t * la_g)
+            else:
+                d = jnp.where(valid, la_g - la_t, 0.0)
+                c = jnp.sum(w_l * d)  # w_l sums to 1
+                amp_l = jnp.sum(w_l * (d - c) ** 2)
+            dph = jnp.where(valid, ph_g - ph_t, 0.0)
+            pml = jnp.sum(w_l * dph * dph)
+            return amp_l + phase_weight * pml
+
+        def body(state, _):
+            prm, ost, best_l, best_p = state
+            l, grads = jax.value_and_grad(sup_loss)(prm)
+            better = l < best_l
+            best_l = jnp.where(better, l, best_l)
+            best_p = jax.tree.map(
+                lambda a, b: jnp.where(better, a, b), prm, best_p
+            )
+            updates, ost = dopt.update(grads, ost, prm)
+            prm = optax.apply_updates(prm, updates)
+            return (prm, ost, best_l, best_p), l
+
+        (params_f, dopt_state, _bl, best_p), losses = jax.lax.scan(
+            body,
+            (params, dopt_state, jnp.asarray(jnp.inf, jnp.float32), params),
+            None,
+            length=cfg.distill_steps,
+        )
+        # Final snapshot candidate: the post-update params' own loss is
+        # never evaluated inside the scan; one extra eval closes it.
+        l_f = sup_loss(params_f)
+        best_p = jax.tree.map(
+            lambda a, b: jnp.where(l_f < _bl, a, b), params_f, best_p
+        )
+        dmetrics = {
+            "distill_loss_first": losses[0],
+            "distill_loss_last": jnp.minimum(l_f, _bl),
+            "distill_energy": m_re.astype(jnp.float32),
+        }
+        return best_p, dopt_state, key, dmetrics
+
+    def _get_distill(self, overrides: Optional[dict] = None):
+        """Jitted distillation-cycle program for the given overrides,
+        cached like ``_get_step``; also returns the cycle's optax
+        optimizer (its state persists across cycles in ``run``)."""
+        key, eff, samp = self._step_configs(overrides)
+        if key not in self._distill_cache:
+            dopt = optax.apply_if_finite(
+                optax.adam(eff.distill_lr), max_consecutive_errors=100
+            )
+
+            def impl(params, dopt_state, key_, consts, budget):
+                with self._bound_consts(consts):
+                    return self._distill_body(
+                        params, dopt_state, key_, eff, samp, dopt,
+                        budget=budget,
+                    )
+
+            jitted = jax.jit(impl)
+
+            def call(params, dopt_state, key_):
+                return jitted(
+                    params, dopt_state, key_, self.device_consts(),
+                    jnp.asarray(self._current_budget(eff), jnp.int32),
+                )
+
+            self._distill_cache[key] = {"call": call, "opt": dopt}
+        ent = self._distill_cache[key]
+        return ent["call"], ent["opt"]
 
     # ------------------------------------------------------------------
     def _full_energy(self, params, words, la, ph, valid):
@@ -1279,11 +1426,23 @@ class VMC:
 
         t0 = time.perf_counter()
 
+        distill_on = bool(getattr(self.config, "distill_period", 0))
+        dstate = None
+        dpend = {}
+
         def handle_row(it, row, params, opt_state, key):
             row["iter_idx"] = it
             row["wall_time"] = time.perf_counter() - t0
             row.setdefault("full_energy", float("nan"))
             row.setdefault("full_energy_var", float("nan"))
+            if distill_on:
+                # Cycle metrics ride on the first row after the cycle.
+                for k in (
+                    "distill_loss_first",
+                    "distill_loss_last",
+                    "distill_energy",
+                ):
+                    row.setdefault(k, dpend.pop(k, float("nan")))
             history.append(row)
             if row["energy"] < best["energy"]:
                 best.update({"energy": row["energy"], "iter": it})
@@ -1324,6 +1483,13 @@ class VMC:
             overrides = self._schedule_overrides(it)
             boundary = self._next_boundary(it)
             eff_cfg = self._step_configs(overrides)[1]
+            dp = getattr(eff_cfg, "distill_period", 0) or 0
+            if dp and it > 0 and it % dp == 0:
+                dcall, dopt = self._get_distill(overrides)
+                if dstate is None:
+                    dstate = dopt.init(params)
+                params, dstate, key, dmet = dcall(params, dstate, key)
+                dpend.update({k: float(v) for k, v in dmet.items()})
             # Periodic unbiased full-energy measurements run through the
             # single-step path (it returns the aux sample `_full_energy`
             # needs); scan windows are split at period boundaries so the
@@ -1338,6 +1504,12 @@ class VMC:
                     next_fe = (it // period + 1) * period
                     if next_fe > it:
                         k_steps = int(min(k_steps, next_fe - it))
+                if dp:
+                    # Never let a fused scan window swallow a distill
+                    # boundary.
+                    k_steps = int(
+                        min(k_steps, (it // dp + 1) * dp - it)
+                    )
                 params, opt_state, key, stacked = self._multi_step(
                     k_steps, overrides
                 )(params, opt_state, key)
@@ -1391,6 +1563,37 @@ class VMC:
                 jax.profiler.stop_trace()
                 profile_iters = None
         return params, opt_state, history, best
+
+
+def it_targets(la, ph, e_re, e_im, valid, tau):
+    """Imaginary-time target amplitudes from a sample's local energies.
+
+    |phi> = (1 - tau (H - E_born)) |psi> restricted to the support:
+    phi(x) = psi(x) (1 - tau (E_loc(x) - E)), evaluated in the scale-free
+    ratio form (stable for tail determinants whose E_loc is enormous:
+    there |f| ~ tau|E_loc| and log|phi| = la + log(tau |t/a|), exactly
+    the boosted tail weight the projector prescribes). f64 throughout --
+    tail |E_loc| can reach ~1e28 and |f|^2 overflows f32.
+
+    Returns (la_target, ph_target, E_born_re) with invalid rows zeroed.
+    """
+    la64 = la.astype(jnp.float64)
+    a = jnp.where(valid, jnp.exp(la64), 0.0)
+    er = e_re.astype(jnp.float64)
+    ei = e_im.astype(jnp.float64)
+    # Born-weighted mean energy on the support (the estimator the VMC
+    # step reports): E = sum a^2 E / sum a^2.
+    denom = jnp.maximum(jnp.sum(a * a), 1e-300)
+    m_re = jnp.sum(a * a * er) / denom
+    m_im = jnp.sum(a * a * ei) / denom
+    f_re = 1.0 - tau * (er - m_re)
+    f_im = -tau * (ei - m_im)
+    mag2 = f_re * f_re + f_im * f_im
+    la_t = la64 + 0.5 * jnp.log(jnp.maximum(mag2, 1e-300))
+    ph_t = ph.astype(jnp.float64) + jnp.arctan2(f_im, f_re)
+    la_t = jnp.where(valid, la_t, 0.0).astype(jnp.float32)
+    ph_t = jnp.where(valid, ph_t, 0.0).astype(jnp.float32)
+    return la_t, ph_t, m_re
 
 
 def _clip(grads, max_norm):
