@@ -55,6 +55,11 @@ def main():
     # the round-3 Li2O decomposition pinned the >40q plateaus on the
     # Born gradient's vanishing tail mass (docs/DESIGN_NOTES.md).
     grad_temp = float(sys.argv[8]) if len(sys.argv) > 8 else 1.0
+    # LR override (flat, no schedule): the 52q transformer A/B -- 1e-4
+    # holds H2O but collapses the C2H4 warm start (73.8% corr -> HF in
+    # 50 iters, runs/logs/c2h4_tf_probe4096.log); smaller flat LRs are
+    # probed through this knob.
+    lr_override = float(sys.argv[9]) if len(sys.argv) > 9 else None
 
     mol = Molecule.create(
         MolConfig(name=name, basis=basis), mols_dir="mols", run_fci=False,
@@ -96,7 +101,10 @@ def main():
 
     run_dir = f"runs/{name.lower()}_cisd_{net}" + (
         "" if theor else "_emp"
-    ) + ("" if grad_temp == 1.0 else f"_t{grad_temp:g}")
+    ) + ("" if grad_temp == 1.0 else f"_t{grad_temp:g}") + (
+        "" if lr_override is None else f"_lr{lr_override:g}"
+    )
+    base_dir = f"runs/{name.lower()}_cisd_{net}" + ("" if theor else "_emp")
     if net == "nade":
         anqs_cfg = AnqsConfig(net_type="nade", hidden_widths=(128, 128),
                               aux_hidden_widths=(128, 128))
@@ -119,9 +127,11 @@ def main():
             qubit_per_qudit=qpq,
             # Transformer: lr 3e-4 Adam also destroys the warm start
             # (collapse to HF by iter ~100; 1e-4 climbs -- H2O A/B).
-            lr=(1e-4 if net == "transformer" else 3e-4),
+            lr=(lr_override if lr_override is not None
+                else (1e-4 if net == "transformer" else 3e-4)),
             lr_schedule=(
-                ((0, 1e-4), (3000, 3e-5))
+                None if lr_override is not None
+                else ((0, 1e-4), (3000, 3e-5))
                 if net == "transformer"
                 else ((0, 3e-4), (1500, 1e-4), (3000, 3e-5))
             ),
@@ -170,6 +180,17 @@ def main():
     if ckpts:
         resume = os.path.join(run_dir, ckpts[-1])
         print(f"resuming from {resume} (skipping pretrain)", flush=True)
+    elif run_dir != base_dir and os.path.isdir(
+        os.path.join(base_dir, "ckpt_0")
+    ):
+        # LR-probe variant: share the base campaign's pretrained warm
+        # start instead of re-distilling.
+        params, _, key, _ = vmc.load_checkpoint(
+            os.path.join(base_dir, "ckpt_0")
+        )
+        resume = os.path.join(run_dir, "ckpt_0")
+        vmc.save_checkpoint(resume, params, vmc.opt.init(params), key, 0)
+        print(f"warm start copied from {base_dir}/ckpt_0", flush=True)
     else:
         params, _, key = vmc.init_state()
         t0 = time.perf_counter()
