@@ -95,6 +95,18 @@ class VMCConfig(Config):
     # energy freezes at HF -- the pinned neighborhood restores the
     # pull-up gradient on the excitation amplitudes.
     couple_ref_dets: int = 0
+    # Pin an explicit support into every batch (zero sample weight; Born
+    # theor freqs supply |psi|^2 -- requires use_theor_freqs). The file
+    # is an npz with 'dets' (uint64) and optionally 'coef'; the top
+    # ``couple_support_k`` dets by |coef| (or the first k) are pinned.
+    # This is the generalization of couple_ref_dets from the HF
+    # neighborhood to an arbitrary enriched support (e.g. a selected-CI
+    # vector, chem/selected_ci.py): it lets the VMC energy gradient keep
+    # seeing the energetically-relevant tail even when the sampler's
+    # top-k window would never propose it (the Li2O support-quality
+    # trap, docs/DESIGN_NOTES.md "diagnosis CORRECTED").
+    couple_support_file: Optional[str] = None
+    couple_support_k: int = 8192
     # Exact-summation mode only: resolve membership ONCE at init (the
     # sector is fixed) via a host-side searchsorted -- the step then skips
     # the canonical sort and the per-iteration table build/lookup
@@ -265,6 +277,22 @@ class VMC:
         # Pinned HF neighborhood (couple_ref_dets): the K connected
         # determinants HF ^ A_m with the largest |<HF ^ A_m|H|HF>|,
         # computed once from one matrix-element row.
+        # Pinned explicit support (couple_support_file): packed once at
+        # init, concatenated into every batch like the HF neighborhood.
+        self.coupled_words = None
+        if self.config.couple_support_file:
+            d = np.load(self.config.couple_support_file)
+            dets = np.asarray(d["dets"], np.uint64)
+            if "coef" in d and self.config.couple_support_k < len(dets):
+                order = np.argsort(-np.abs(np.asarray(d["coef"])))
+                dets = dets[order[: self.config.couple_support_k]]
+            else:
+                dets = dets[: self.config.couple_support_k]
+            bits = (
+                dets[:, None] >> np.arange(n, dtype=np.uint64)[None]
+            ).astype(np.int64) & 1
+            self.coupled_words = bitops.pack(jnp.asarray(bits))
+
         self.ref_neighbor_words = None
         if self.config.couple_ref_dets:
             me_row = np.asarray(
@@ -856,6 +884,18 @@ class VMC:
                 [valid, jnp.ones(nb.shape[0], dtype=bool)]
             )
 
+        if cfg.couple_support_file and self.coupled_words is not None:
+            # Pin the explicit enriched support (same contract as above:
+            # zero sample weight, Born theor freqs).
+            cw = self.coupled_words
+            words = jnp.concatenate([words, cw])
+            weights = jnp.concatenate(
+                [weights, jnp.zeros(cw.shape[0], weights.dtype)]
+            )
+            valid = jnp.concatenate(
+                [valid, jnp.ones(cw.shape[0], dtype=bool)]
+            )
+
         use_static = (
             sampling_config.mode == "exact"
             and self.exact_partner_idx is not None
@@ -868,6 +908,7 @@ class VMC:
             and sampling_config.mode == "gumbel"
             and not cfg.couple_spin_flip
             and not cfg.couple_ref_dets
+            and not cfg.couple_support_file
         )
         if use_static:
             # Pre-sorted fixed sector, all rows valid: no sort, and
@@ -885,7 +926,8 @@ class VMC:
                 words, weights, valid.astype(jnp.int32)
             )
             valid = valid_i.astype(bool)
-            if cfg.couple_spin_flip or cfg.couple_ref_dets:
+            if (cfg.couple_spin_flip or cfg.couple_ref_dets
+                    or cfg.couple_support_file):
                 valid = valid & keys.unique_mask(sorted_words)
 
         # Data-parallel sharding of the unique-determinant batch: amplitude

@@ -99,18 +99,51 @@ def main():
     w_l = p_t ** (1.0 / temp)
     w_l = w_l / jnp.sum(w_l)
 
+    # Chunk-decomposed full-support loss: every term is a linear sum of
+    # per-row quantities (the offset-free regression expands to global
+    # moments: sum w (d-c)^2 = sum w d^2 - (sum w d)^2 since sum w = 1),
+    # so the 131k-row batch reduces chunk by chunk under lax.map with
+    # jax.checkpoint -- peak HBM is ONE chunk's activations (the
+    # unchunked 131k-row backward crashed the v5e worker).
+    chunk = 16384
+    n_rows = words.shape[0]
+    pad = (-n_rows) % chunk
+    wc = jnp.pad(words, ((0, pad), (0, 0))).reshape(-1, chunk, words.shape[1])
+    pc = jnp.pad(p_t, (0, pad)).reshape(-1, chunk)
+    lac = jnp.pad(la_t, (0, pad)).reshape(-1, chunk)
+    phc = jnp.pad(ph_t, (0, pad)).reshape(-1, chunk)
+    wlc = jnp.pad(w_l, (0, pad)).reshape(-1, chunk)
+
     def loss_fn(prm):
-        la, ph = vmc.anqs.log_psi(prm, words)
-        ce = -2.0 * jnp.sum(p_t * la)
-        dd = la - la_t
-        c = jnp.sum(w_l * dd)
-        amp = jnp.sum(w_l * (dd - c) ** 2)
-        dph = ph - ph_t
-        pml = jnp.sum(w_l * dph * dph)
+        @jax.checkpoint
+        def part(xs):
+            w, p, la_tc, ph_tc, wl = xs
+            la, ph = vmc.anqs.log_psi(prm, w)
+            dd = la - la_tc
+            dph = ph - ph_tc
+            return (
+                jnp.sum(p * la),
+                jnp.sum(wl * dd),
+                jnp.sum(wl * dd * dd),
+                jnp.sum(wl * dph * dph),
+            )
+
+        s_pla, s_wd, s_wdd, s_pml = jax.lax.map(
+            part, (wc, pc, lac, phc, wlc)
+        )
+        ce = -2.0 * jnp.sum(s_pla)
+        c = jnp.sum(s_wd)
+        amp = jnp.sum(s_wdd) - c * c
+        pml = jnp.sum(s_pml)
         return ce + amp + pml, (ce, amp, pml)
 
     def fit_stage(prm, lr, n_steps):
+        # Windowed scan: a single 2000-step device program runs ~120 s
+        # and reproducibly kills the TPU worker (watchdog); 200-step
+        # dispatches (~12 s) are safe. Carry (params, opt state, best)
+        # across windows.
         opt = optax.adam(lr)
+        window = 200
 
         def body(state, _):
             p, o, bl, bp = state
@@ -123,18 +156,28 @@ def main():
             return (p, o, bl, bp), l
 
         @jax.jit
-        def run(p):
-            state = (p, opt.init(p), jnp.asarray(jnp.inf, jnp.float32), p)
-            (pf, _, bl, bp), ls = jax.lax.scan(
-                body, state, None, length=n_steps
-            )
+        def run_window(state):
+            state, ls = jax.lax.scan(body, state, None, length=window)
+            return state, ls[0]
+
+        state = (prm, opt.init(prm), jnp.asarray(jnp.inf, jnp.float32), prm)
+        l0 = None
+        for _ in range(max(1, n_steps // window)):
+            state, lw = run_window(state)
+            if l0 is None:
+                l0 = float(lw)
+        pf, _, bl, bp = state
+
+        @jax.jit
+        def final_best(pf, bl, bp):
             lf, _ = loss_fn(pf)
             bp = jax.tree.map(
                 lambda a, b: jnp.where(lf < bl, a, b), pf, bp
             )
-            return bp, jnp.minimum(lf, bl), ls[0]
+            return bp, jnp.minimum(lf, bl)
 
-        return run(prm)
+        bp, bl = final_best(pf, bl, bp)
+        return bp, bl, jnp.asarray(l0)
 
     def full_energy(prm, tag):
         nonlocal key
