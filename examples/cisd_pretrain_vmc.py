@@ -60,6 +60,10 @@ def main():
     # 50 iters, runs/logs/c2h4_tf_probe4096.log); smaller flat LRs are
     # probed through this knob.
     lr_override = float(sys.argv[9]) if len(sys.argv) > 9 else None
+    # Scan-window size: the TPU worker watchdog kills single dispatches
+    # running >~60-120 s (CLAUDE.md); slow steps (52q transformer at
+    # sample 8192) need short windows.
+    steps_per_call = int(sys.argv[10]) if len(sys.argv) > 10 else 25
 
     mol = Molecule.create(
         MolConfig(name=name, basis=basis), mols_dir="mols", run_fci=False,
@@ -227,7 +231,7 @@ def main():
 
     params, opt_state, history, best = vmc.run(
         iter_num=iters, on_iter=progress, checkpoint_every=250,
-        steps_per_call=25, resume_from=resume,
+        steps_per_call=steps_per_call, resume_from=resume,
     )
     corr = (best["energy"] - hf) / (ref - hf)
     print(

@@ -53,6 +53,12 @@ TARGET = os.path.join(RUN_DIR, "target.npz")
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     temp = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
+    # On-support-mass penalty lam*(1-m)^2, m = sum_support |psi|^2 (the
+    # net is globally normalized, so driving m -> 1 removes the
+    # out-of-support leak). Measured on Li2O: the tempered profile fit
+    # alone grows the leak 0.004% -> 0.13%, and junk determinants sit
+    # ~2 Ha high, so 0.13% mass = the whole +3 mHa full-vs-support gap.
+    lam = float(sys.argv[3]) if len(sys.argv) > 3 else 1000.0
 
     mol = Molecule.create(
         MolConfig(name="Li2O"), mols_dir="mols", run_fci=False,
@@ -113,11 +119,14 @@ def main():
     lac = jnp.pad(la_t, (0, pad)).reshape(-1, chunk)
     phc = jnp.pad(ph_t, (0, pad)).reshape(-1, chunk)
     wlc = jnp.pad(w_l, (0, pad)).reshape(-1, chunk)
+    vc = jnp.pad(jnp.ones((n_rows,), jnp.float32), (0, pad)).reshape(
+        -1, chunk
+    )
 
     def loss_fn(prm):
         @jax.checkpoint
         def part(xs):
-            w, p, la_tc, ph_tc, wl = xs
+            w, p, la_tc, ph_tc, wl, vmask = xs
             la, ph = vmc.anqs.log_psi(prm, w)
             dd = la - la_tc
             dph = ph - ph_tc
@@ -126,16 +135,19 @@ def main():
                 jnp.sum(wl * dd),
                 jnp.sum(wl * dd * dd),
                 jnp.sum(wl * dph * dph),
+                jnp.sum(vmask * jnp.exp(2.0 * la)),
             )
 
-        s_pla, s_wd, s_wdd, s_pml = jax.lax.map(
-            part, (wc, pc, lac, phc, wlc)
+        s_pla, s_wd, s_wdd, s_pml, s_m = jax.lax.map(
+            part, (wc, pc, lac, phc, wlc, vc)
         )
         ce = -2.0 * jnp.sum(s_pla)
         c = jnp.sum(s_wd)
         amp = jnp.sum(s_wdd) - c * c
         pml = jnp.sum(s_pml)
-        return ce + amp + pml, (ce, amp, pml)
+        m = jnp.sum(s_m)
+        mass_pen = lam * (1.0 - m) ** 2
+        return ce + amp + pml + mass_pen, (ce, amp, pml, m)
 
     def fit_stage(prm, lr, n_steps):
         # Windowed scan: a single 2000-step device program runs ~120 s
@@ -220,28 +232,42 @@ def main():
               f"({(e - FCI) * 1e3:+.3f} mHa)", flush=True)
         return e
 
+    @jax.jit
+    def metrics(prm):
+        return loss_fn(prm)[1]
+
     t0 = time.perf_counter()
-    results = {"temp": temp, "stages": []}
+    results = {"temp": temp, "lam": lam, "stages": []}
     support_rayleigh(params, "before polish")
+    base = 10 if lam == 0.0 else 20
+    lrs = (3e-4, 1e-4, 3e-5, 1e-5) if lam == 0.0 else (
+        1e-4, 3e-5, 1e-5, 3e-6)
     best = (np.inf, None)
-    for si, lr in enumerate((3e-4, 1e-4, 3e-5, 1e-5)):
+    for si, lr in enumerate(lrs):
         params, bl, l0 = fit_stage(params, lr, steps)
+        _, _, _, m = metrics(params)
         print(f"stage {si} lr={lr:g}: loss {float(l0):.6f} -> "
-              f"{float(bl):.6f} [{time.perf_counter() - t0:.0f}s]",
+              f"{float(bl):.6f} mass {float(m):.6f} "
+              f"[{time.perf_counter() - t0:.0f}s]",
               flush=True)
         e_sup = support_rayleigh(params, f"stage {si}")
         e = full_energy(params, f"stage {si}")
-        ck = os.path.join(RUN_DIR, f"ckpt_{10 + si}")
-        vmc.save_checkpoint(ck, params, vmc.opt.init(params), key, 10 + si)
+        ck = os.path.join(RUN_DIR, f"ckpt_{base + si}")
+        vmc.save_checkpoint(
+            ck, params, vmc.opt.init(params), key, base + si
+        )
         results["stages"].append(
-            {"stage": si, "lr": lr, "loss": float(bl),
+            {"stage": si, "lr": lr, "loss": float(bl), "mass": float(m),
              "full_e": e, "support_rayleigh": e_sup}
         )
         if e < best[0]:
             best = (e, ck)
     results["best_full_e"] = best[0]
     results["gap_mha"] = (best[0] - FCI) * 1e3
-    with open(os.path.join(RUN_DIR, "polish_summary.json"), "w") as f:
+    suffix = "" if lam == 0.0 else f"_lam{lam:g}"
+    with open(
+        os.path.join(RUN_DIR, f"polish_summary{suffix}.json"), "w"
+    ) as f:
         json.dump(results, f, indent=1)
     print(f"BEST sampled full energy {best[0]:.6f} "
           f"({results['gap_mha']:+.3f} mHa vs FCI; "

@@ -67,3 +67,40 @@ def test_expand_support_max_new_cap():
     hf = int(np.asarray(mol.hf_det).ravel()[0])
     out = sci.expand_support([hf], np.ones(1), mol.qubit_num, 1, max_new=7)
     assert len(out) == 8 and hf in out
+
+
+def test_heatbath_eps0_matches_unscreened():
+    mol = _mol("LiH")
+    hf = int(np.asarray(mol.hf_det).ravel()[0])
+    table = sci.HeatBathTable(mol.h1, mol.v)
+    hb = sci.expand_support_heatbath(
+        [hf], np.ones(1), table, eps=0.0, n_parents=1
+    )
+    ref = sci.expand_support([hf], np.ones(1), mol.qubit_num, 1)
+    # eps=0 heat-bath = all singles + all NONZERO-|v| doubles: a subset
+    # of the unscreened S+D that must preserve the restricted energy
+    # (zero-element doubles cannot enter the CI ground state at first
+    # order -- on LiH they are also numerically irrelevant).
+    assert set(hb) <= set(ref)
+    e_hb, _ = sci.restricted_ground_state(hb, mol.h1, mol.v, mol.e_nuc)
+    e_ref, _ = sci.restricted_ground_state(ref, mol.h1, mol.v, mol.e_nuc)
+    assert abs(e_hb - e_ref) < 5e-7
+
+
+def test_heatbath_screening_monotone():
+    mol = _mol("LiH")
+    hf = int(np.asarray(mol.hf_det).ravel()[0])
+    table = sci.HeatBathTable(mol.h1, mol.v)
+    sizes = []
+    energies = []
+    for eps in (3e-2, 3e-3, 0.0):
+        s = sci.expand_support_heatbath(
+            [hf], np.ones(1), table, eps=eps, n_parents=1
+        )
+        e, _ = sci.restricted_ground_state(s, mol.h1, mol.v, mol.e_nuc)
+        sizes.append(len(s))
+        energies.append(e)
+    assert sizes[0] < sizes[1] <= sizes[2]
+    assert energies[0] >= energies[1] >= energies[2] - 1e-12
+    # The eps=0 energy is CISD up to zero-element doubles.
+    assert abs(energies[2] - mol.cisd_energy) < 5e-7
