@@ -1,0 +1,245 @@
+"""Support-CI closure: the reusable enrich -> distill -> polish pipeline.
+
+Proven on Li2O (docs/DESIGN_NOTES.md "Li2O CLOSED"): an ANQS trained by
+top-k-sampled VMC is the near-exact ground state of H restricted to its
+own proposable support, and the remaining energy lives in determinants
+it assigns ~zero probability. The oracle-free closure:
+
+1. enrich: selected-CI expansion of a seed support (the state's own
+   sample, a CISD support, ...) on the host (chem/selected_ci.py) --
+   unscreened for small orbital counts, heat-bath-screened beyond.
+2. distill: minibatched CE pretraining onto the enriched vector
+   (optim/pretrain.py) -- fast mass placement.
+3. polish: full-support deterministic fit (chunked under
+   jax.checkpoint) of CE + tempered offset-free log-profile regression
+   + phase MSE + a LINEAR on-support-mass penalty (quadratic saturates;
+   the leak's junk determinants sit ~Ha high, so sub-0.01% leak mass is
+   required for sub-mHa energies).
+4. measure: the sampled full-energy estimator (every connected
+   amplitude of a fresh Gumbel sample through the network), the same
+   protocol as all ladder artifacts.
+
+No reference counterpart (the reference never leaves plain VMC); this
+is the TPU rebuild's answer to top-k support truncation at >25 qubits.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..optim.pretrain import (
+    amplitude_targets_from_coefs,
+    pack_dets,
+    pretrain,
+)
+from ..ops import keys as keyops
+from ..sampling.sampler import gumbel_top_k_sample
+
+
+def sample_support(vmc, params, key, sample_num: int, passes: int = 3):
+    """Union of determinants over ``passes`` Gumbel top-k samples."""
+    from ..ops import bits as bitops
+
+    n = vmc.ham.qubit_num
+    out = set()
+    samp = jax.jit(
+        lambda p, k: gumbel_top_k_sample(vmc.anqs, p, k, sample_num)
+    )
+    for _ in range(passes):
+        key, sub = jax.random.split(key)
+        s = samp(params, sub)
+        w = np.asarray(s.words)[np.asarray(s.valid)]
+        bits = np.asarray(bitops.unpack(jnp.asarray(w), n))
+        out.update(
+            int(x) for x in
+            (bits.astype(np.uint64)
+             << np.arange(n, dtype=np.uint64)[None]).sum(1)
+        )
+    return sorted(out), key
+
+
+def make_target(dets: Sequence[int], coef: np.ndarray, qubit_num: int):
+    """Device arrays for the distill/polish losses."""
+    probs, phases = amplitude_targets_from_coefs(coef)
+    words = pack_dets(dets, qubit_num)
+    p_t = jnp.asarray(probs)
+    return {
+        "dets": [int(x) for x in dets],
+        "words": words,
+        "p": p_t,
+        # 1e-38 is denormal in f32 and XLA flushes it to zero
+        # (log -> -inf); clamp at a normal float.
+        "la": 0.5 * jnp.log(jnp.maximum(p_t, 1e-30)),
+        "ph": jnp.asarray(phases),
+    }
+
+
+def distill(anqs, params, target, key, stages, batch: int = 8192,
+            on_log=None):
+    """Minibatched CE distillation (optim/pretrain) over LR stages."""
+    for iters, lr in stages:
+        params, _ = pretrain(
+            anqs, params, target["words"],
+            np.asarray(target["p"]), np.asarray(target["ph"]),
+            key, iters=iters, lr=lr, batch=batch, on_log=on_log,
+        )
+    return params
+
+
+def polish(anqs, params, target, *, temp: float = 2.0, lam: float = 30.0,
+           kind: str = "lin", lrs=(1e-4, 3e-5, 1e-5, 3e-6),
+           steps: int = 2000, window: int = 200, chunk: int = 16384,
+           on_stage: Optional[Callable] = None):
+    """Full-support deterministic fit with the linear mass penalty.
+
+    Every loss term is a linear sum of per-row quantities (the
+    offset-free regression expands to global moments), so the support
+    reduces chunk by chunk under lax.map + jax.checkpoint (peak HBM =
+    one chunk). The optimizer scan is windowed: single device dispatches
+    over ~60-120 s kill the TPU worker (CLAUDE.md).
+    """
+    words, p_t, la_t, ph_t = (
+        target["words"], target["p"], target["la"], target["ph"]
+    )
+    w_l = p_t ** (1.0 / temp)
+    w_l = w_l / jnp.sum(w_l)
+    n_rows = words.shape[0]
+    pad = (-n_rows) % chunk
+
+    def chunked(x, extra_shape=()):
+        pw = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pw).reshape((-1, chunk) + extra_shape)
+
+    wc = chunked(words, (words.shape[1],))
+    pc, lac, phc, wlc = map(chunked, (p_t, la_t, ph_t, w_l))
+    vc = chunked(jnp.ones((n_rows,), jnp.float32))
+
+    def loss_fn(prm):
+        @jax.checkpoint
+        def part(xs):
+            w, p, la_tc, ph_tc, wl, vmask = xs
+            la, ph = anqs.log_psi(prm, w)
+            # Pad rows (vmask 0) are masked-out determinants whose la
+            # can be -inf/-1e30; a multiplicative mask still yields
+            # 0 * inf = NaN, so SELECT with where before any arithmetic.
+            la = jnp.where(vmask > 0, la, 0.0)
+            ph = jnp.where(vmask > 0, ph, 0.0)
+            rmask = vmask * (wl > 0)
+            dd = rmask * (la - la_tc)
+            dph = rmask * (ph - ph_tc)
+            return (
+                jnp.sum(p * vmask * la),
+                jnp.sum(wl * dd),
+                jnp.sum(wl * dd * dd),
+                jnp.sum(wl * dph * dph),
+                # la is clamped before exp: a transient optimizer spike
+                # above la~44 overflows f32 and NaN-poisons the run.
+                jnp.sum(vmask * jnp.exp(2.0 * jnp.minimum(la, 20.0))),
+            )
+
+        s = jax.lax.map(part, (wc, pc, lac, phc, wlc, vc))
+        ce = -2.0 * jnp.sum(s[0])
+        c = jnp.sum(s[1])
+        amp = jnp.sum(s[2]) - c * c
+        pml = jnp.sum(s[3])
+        m = jnp.sum(s[4])
+        if kind == "lin":
+            pen = lam * (1.0 - m)
+        elif kind == "log":
+            pen = -lam * jnp.log(jnp.maximum(m, 1e-6))
+        else:
+            pen = lam * (1.0 - m) ** 2
+        return ce + amp + pml + pen, (ce, amp, pml, m)
+
+    metrics = jax.jit(lambda prm: loss_fn(prm)[1])
+    info = []
+    for si, lr in enumerate(lrs):
+        opt = optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.adam(lr),
+        )
+
+        def body(state, _):
+            p, o, bl, bp = state
+            (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            better = l < bl
+            bl = jnp.where(better, l, bl)
+            bp = jax.tree.map(
+                lambda a, b: jnp.where(better, a, b), p, bp
+            )
+            up, o = opt.update(g, o, p)
+            return (optax.apply_updates(p, up), o, bl, bp), l
+
+        run_window = jax.jit(
+            lambda st: jax.lax.scan(body, st, None, length=window)
+        )
+        state = (
+            params, opt.init(params),
+            jnp.asarray(jnp.inf, jnp.float32), params,
+        )
+        for _ in range(max(1, steps // window)):
+            state, _ = run_window(state)
+        pf, _, bl, bp = state
+
+        @jax.jit
+        def final_best(pf, bl, bp):
+            lf, _ = loss_fn(pf)
+            return (
+                jax.tree.map(
+                    lambda a, b: jnp.where(lf < bl, a, b), pf, bp
+                ),
+                jnp.minimum(lf, bl),
+            )
+
+        params, bl = final_best(pf, bl, bp)
+        _, _, _, m = metrics(params)
+        row = {"stage": si, "lr": lr, "loss": float(bl), "mass": float(m)}
+        info.append(row)
+        if on_stage is not None:
+            on_stage(row, params)
+    return params, info
+
+
+def sampled_full_energy(vmc, params, key, sample_num: int = 16384):
+    """The ladder-artifact protocol: every connected amplitude of a
+    fresh Gumbel sample evaluated through the network, Born-weighted f64
+    reduction. Returns (energy, variance)."""
+    s = jax.jit(
+        lambda p, k: gumbel_top_k_sample(vmc.anqs, p, k, sample_num)
+    )(params, key)
+    valid = np.asarray(s.valid)
+    assert bool(valid.all()), "sample not full; shrink sample_num"
+    sw, _ = keyops.sort_words(s.words)
+    la, ph = vmc.anqs.log_psi(params, sw)
+    e_re, _, var = vmc._full_energy(
+        params, sw, la, ph, jnp.ones((sw.shape[0],), bool)
+    )
+    return float(e_re), float(var)
+
+
+def support_rayleigh(mol, target, anqs, params,
+                     h_cache: Optional[str] = None):
+    """Exact host Rayleigh quotient of the model restricted to the
+    target support (the fit oracle; separates capacity from estimator
+    effects)."""
+    import scipy.sparse
+
+    from ..chem import fci as fci_mod
+
+    if h_cache and os.path.exists(h_cache):
+        h = scipy.sparse.load_npz(h_cache)
+    else:
+        h = fci_mod.sparse_hamiltonian(target["dets"], mol.h1, mol.v)
+        if h_cache:
+            scipy.sparse.save_npz(h_cache, h)
+    la, ph = jax.jit(anqs.log_psi)(params, target["words"])
+    la = np.asarray(la, np.float64)
+    c = np.exp(la - la.max()) * np.cos(np.asarray(ph, np.float64))
+    return float(c @ (h @ c) / (c @ c)) + mol.e_nuc

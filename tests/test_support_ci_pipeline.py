@@ -1,0 +1,57 @@
+"""End-to-end support-CI closure pipeline (experiments/support_ci.py)
+on LiH: enrich -> distill -> polish -> measure, all on CPU."""
+
+import numpy as np
+import jax
+
+from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+from anqs_quantum_chemistry_tpu.chem import selected_ci as sci
+from anqs_quantum_chemistry_tpu.experiments import support_ci as scp
+from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
+from anqs_quantum_chemistry_tpu.models.anqs import AnqsConfig
+
+
+def test_pipeline_reaches_near_fci_on_lih(tmp_path):
+    mol = Molecule.create(
+        MolConfig(name="LiH"), mols_dir="mols", run_fci=True
+    )
+    vmc = VMC(
+        mol,
+        VMCConfig(sample_num=128, sampling_mode="gumbel",
+                  qubit_per_qudit=3, seed=0),
+        AnqsConfig(hidden_widths=(64,)),
+    )
+    params, _, key = vmc.init_state()
+
+    # Enrich from the state's own sample (random init: wide support).
+    seed_dets, key = scp.sample_support(vmc, params, key, 128, passes=2)
+    e0, dets, coef = sci.selected_ci(
+        seed_dets, mol.h1, mol.v, mol.e_nuc, n_parents=64, rounds=3,
+        tol=1e-8,
+    )
+    assert e0 < mol.fci_energy + 5e-6  # LiH: selected CI hits FCI
+
+    target = scp.make_target(dets, coef, mol.qubit_num)
+    params = scp.distill(
+        vmc.anqs, params, target, jax.random.PRNGKey(1),
+        stages=((1500, 3e-3), (1500, 1e-3)), batch=4096,
+    )
+    e_mid, _ = scp.sampled_full_energy(vmc, params, key, 128)
+
+    stage_rows = []
+    params, info = scp.polish(
+        vmc.anqs, params, target, temp=2.0, lam=30.0, kind="lin",
+        lrs=(3e-4, 1e-4), steps=600, window=100, chunk=256,
+        on_stage=lambda row, p: stage_rows.append(row),
+    )
+    assert len(info) == 2 and all(np.isfinite(r["loss"]) for r in info)
+    # Mass concentrated on the enriched support.
+    assert info[-1]["mass"] > 0.98
+
+    e_fin, var = scp.sampled_full_energy(vmc, params, key, 128)
+    # Within 5 mHa of FCI from a RANDOM init via the pipeline alone
+    # (measured: ~2.2 mHa), variational, and the on-support oracle is
+    # at least as good as the sampled estimator.
+    assert mol.fci_energy - 1e-6 <= e_fin < mol.fci_energy + 5e-3
+    e_sup = scp.support_rayleigh(mol, target, vmc.anqs, params)
+    assert mol.fci_energy - 1e-6 <= e_sup <= e_fin + 1e-6
