@@ -207,21 +207,58 @@ def polish(anqs, params, target, *, temp: float = 2.0, lam: float = 30.0,
     return params, info
 
 
-def sampled_full_energy(vmc, params, key, sample_num: int = 16384):
+def sampled_full_energy(vmc, params, key, sample_num: int = 16384,
+                        row_chunk: Optional[int] = None):
     """The ladder-artifact protocol: every connected amplitude of a
     fresh Gumbel sample evaluated through the network, Born-weighted f64
-    reduction. Returns (energy, variance)."""
+    reduction. Returns (energy, variance).
+
+    ``row_chunk`` splits the sample into row blocks dispatched
+    separately (host-side f64 combine): the unchunked (B, M) connected
+    evaluation exhausts v5e HBM beyond B*M ~ 2^27 (C2H4: 8192 x 20776
+    amplitudes crashes the worker; CLAUDE.md), and per-chunk dispatches
+    also stay under the worker's ~60 s single-dispatch watchdog.
+    """
     s = jax.jit(
         lambda p, k: gumbel_top_k_sample(vmc.anqs, p, k, sample_num)
     )(params, key)
     valid = np.asarray(s.valid)
     assert bool(valid.all()), "sample not full; shrink sample_num"
     sw, _ = keyops.sort_words(s.words)
-    la, ph = vmc.anqs.log_psi(params, sw)
-    e_re, _, var = vmc._full_energy(
-        params, sw, la, ph, jnp.ones((sw.shape[0],), bool)
-    )
-    return float(e_re), float(var)
+    if row_chunk is None:
+        la, ph = vmc.anqs.log_psi(params, sw)
+        e_re, _, var = vmc._full_energy(
+            params, sw, la, ph, jnp.ones((sw.shape[0],), bool)
+        )
+        return float(e_re), float(var)
+
+    la, ph = jax.jit(vmc.anqs.log_psi)(params, sw)
+
+    def impl(params_, w_, la_, ph_, consts):
+        with vmc._bound_consts(consts):
+            e = vmc.engine.local_energy_full(
+                vmc.anqs, params_, w_, la_, ph_,
+                jnp.ones((w_.shape[0],), bool),
+            )
+        return e.e_re
+
+    fe_chunk = jax.jit(impl)
+    consts = vmc.device_consts()
+    n = sw.shape[0]
+    assert n % row_chunk == 0, (n, row_chunk)
+    e_rows = np.concatenate([
+        np.asarray(fe_chunk(
+            params, sw[i:i + row_chunk], la[i:i + row_chunk],
+            ph[i:i + row_chunk], consts,
+        ), np.float64)
+        for i in range(0, n, row_chunk)
+    ])
+    la64 = np.asarray(la, np.float64)
+    w = np.exp(2.0 * (la64 - la64.max()))
+    w = w / w.sum()
+    e = float(w @ e_rows)
+    var = float(w @ (e_rows - e) ** 2)
+    return e, var
 
 
 def support_rayleigh(mol, target, anqs, params,

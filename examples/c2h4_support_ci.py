@@ -1,0 +1,283 @@
+"""C2H4/6-31G (52 qubits) support-CI closure: the peaked-regime flagship.
+
+Applies the Li2O-proven enrich -> distill -> polish pipeline
+(experiments/support_ci.py; runs/li2o_sci closed at +0.280 mHa) to the
+52-qubit system the round-2 VERDICT named as the second paper's regime.
+Plain VMC history here: transformer frozen at exactly HF (round 2),
+CISD-pretrained MADE-2048 at 74.4% of CCSD(T) correlation after 4000
+iters (runs/c2h4_cisd_made). The remaining energy lives in
+determinants the sampler never proposes, so the closure is host-side
+support enrichment:
+
+1. HOST: seed = CISD support (29593 dets, 90.2% corr) union the trained
+   model's own Gumbel samples; heat-bath-screened selected-CI rounds
+   (chem/selected_ci.py: HeatBathTable prefix walks -- unscreened
+   expansion is intractable at ~30k doubles/det) with restricted
+   diagonalization via the C++ Slater-Condon builder. First round
+   measured at -78.211312 = 96.4% corr (155k dets).
+2. Truncate to the smallest power-of-two support within 0.3 mHa,
+   re-diagonalize restricted (compact distillation target).
+3. TPU distill: staged-LR minibatch CE onto the enriched vector from
+   the trained MADE-2048 warm start.
+4. TPU polish: full-support deterministic fit with the LINEAR
+   on-support-mass penalty (support_ci.polish).
+5. Measure: sampled full energy, ROW-CHUNKED (8192 x 20776 connected
+   amplitudes in one dispatch exhausts v5e HBM -- the round-2 crash).
+
+The final number is the network's own unbiased local-energy estimator,
+not a CI energy. No FCI oracle exists at this scale; success criteria
+are (a) variationally below CISD, (b) % of CCSD(T) correlation.
+
+Reference counterpart: none (the reference's peaked-wavefunction paper
+trains plain VMC); this is the TPU rebuild's answer to top-k support
+truncation at 52 qubits. VERDICT round-2 item 2.
+
+Usage: python examples/c2h4_support_ci.py [cmd]
+  cmd = target  -> host enrichment only (CPU; writes target.npz)
+  cmd = distill -> staged CE distillation (TPU)
+  cmd = polish  -> mass-penalized polish (TPU)
+  cmd = all     -> everything, resumable (default)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+import jax
+
+from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
+from anqs_quantum_chemistry_tpu.chem import selected_ci as sci
+from anqs_quantum_chemistry_tpu.experiments import support_ci
+from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
+from anqs_quantum_chemistry_tpu.models.anqs import AnqsConfig
+from anqs_quantum_chemistry_tpu.optim.pretrain import pretrain
+
+RUN_DIR = "runs/c2h4_sci"
+TARGET = os.path.join(RUN_DIR, "target.npz")
+WARM = "runs/c2h4_cisd_made/ckpt_4000"
+CISD_CACHE = "runs/c2h4_cisd_vector.npz"
+# Heat-bath selected-CI rounds: (eps, n_parents, max_total_size).
+ROUNDS = ((3e-4, 4000, 400_000), (1.5e-4, 20000, 700_000))
+ROUND_TOL = 3e-4  # Ha: stop when a round gains less than this
+
+
+def prep_mol():
+    return Molecule.create(
+        MolConfig(name="C2H4", basis="6-31g"), mols_dir="mols",
+        run_fci=False,
+    )
+
+
+def build_target(mol, seed_dets):
+    """Host phase: heat-bath selected-CI rounds + truncation."""
+    hf, ref = mol.hf_energy, mol.ccsd_t_energy
+
+    def corr(e):
+        return 100.0 * (e - hf) / (ref - hf)
+
+    t0 = time.perf_counter()
+    table = sci.HeatBathTable(mol.h1, mol.v)
+    print(f"heat-bath table [{time.perf_counter() - t0:.0f}s]", flush=True)
+
+    dets = sorted(set(int(d) for d in seed_dets))
+    t0 = time.perf_counter()
+    energy, coef = sci.restricted_ground_state(
+        dets, mol.h1, mol.v, mol.e_nuc
+    )
+    print(f"seed: |S|={len(dets)} E0={energy:.6f} ({corr(energy):.1f}% "
+          f"corr) [{time.perf_counter() - t0:.0f}s]", flush=True)
+
+    for rnd, (eps, n_par, cap) in enumerate(ROUNDS):
+        t0 = time.perf_counter()
+        bigger = sci.expand_support_heatbath(
+            dets, coef, table, eps, n_par,
+            max_new=max(0, cap - len(dets)),
+        )
+        if len(bigger) == len(dets):
+            print(f"round {rnd}: no new dets", flush=True)
+            break
+        t1 = time.perf_counter()
+        e_new, c_new = sci.restricted_ground_state(
+            bigger, mol.h1, mol.v, mol.e_nuc
+        )
+        print(
+            f"round {rnd} (eps={eps:g} parents={n_par}): |S|={len(bigger)} "
+            f"E0={e_new:.6f} ({corr(e_new):.1f}% corr) gain "
+            f"{(energy - e_new) * 1e3:.3f} mHa "
+            f"[expand {t1 - t0:.0f}s diag {time.perf_counter() - t1:.0f}s]",
+            flush=True,
+        )
+        gained = energy - e_new
+        dets, coef, energy = bigger, c_new, e_new
+        if gained < ROUND_TOL:
+            break
+    e_full, n_full = energy, len(dets)
+
+    # Truncate to the smallest power-of-two support within 0.3 mHa.
+    for k in (1 << 17, 1 << 18, 1 << 19):
+        if k >= len(dets):
+            td, tc, e_k = dets, np.asarray(coef, np.float64), e_full
+            break
+        td, tc = sci.truncate_by_weight(dets, coef, k)
+        t0 = time.perf_counter()
+        e_k, tc = sci.restricted_ground_state(td, mol.h1, mol.v, mol.e_nuc)
+        print(f"top-{k}: E0={e_k:.6f} ({corr(e_k):.1f}% corr) "
+              f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+        if e_k - e_full < 3e-4:
+            break
+    os.makedirs(RUN_DIR, exist_ok=True)
+    np.savez_compressed(
+        TARGET, dets=np.array(td, np.uint64), coef=tc,
+        e0=e_k, e0_full=e_full, n_full=n_full,
+    )
+    print(f"target saved: |S|={len(td)} E0={e_k:.6f} "
+          f"({corr(e_k):.1f}% corr; full expansion {n_full} dets at "
+          f"{corr(e_full):.1f}%)", flush=True)
+    return td, tc, e_k
+
+
+def make_vmc(mol):
+    return VMC(
+        mol,
+        VMCConfig(
+            sample_num=8192, sampling_mode="gumbel", qubit_per_qudit=4,
+            seed=0,
+            engine_overrides={
+                "prefilter_row_capacity": 768,
+                "prefilter_dense_rows": 4096,
+            },
+        ),
+        AnqsConfig(hidden_widths=(2048,)),
+        run_dir=RUN_DIR,
+    )
+
+
+def latest_ckpt(d):
+    cs = sorted(
+        (c for c in os.listdir(d) if c.startswith("ckpt_")),
+        key=lambda c: int(c.split("_")[1]),
+    ) if os.path.isdir(d) else []
+    return os.path.join(d, cs[-1]) if cs else None
+
+
+def main():
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
+    mol = prep_mol()
+    hf, ref, cisd = mol.hf_energy, mol.ccsd_t_energy, mol.cisd_energy
+    print(f"C2H4/6-31g: {mol.qubit_num}q HF {hf:.6f} CISD {cisd:.6f} "
+          f"CCSD(T) {ref:.6f}", flush=True)
+
+    def corr(e):
+        return 100.0 * (e - hf) / (ref - hf)
+
+    if not os.path.exists(TARGET):
+        d = np.load(CISD_CACHE)
+        seed = [int(x) for x in d["dets"]]
+        print(f"seed = CISD support ({len(seed)} dets)", flush=True)
+        td, tc, e_k = build_target(mol, seed)
+    else:
+        d = np.load(TARGET)
+        td = [int(x) for x in d["dets"]]
+        tc = np.asarray(d["coef"], np.float64)
+        e_k = float(d["e0"])
+        print(f"target loaded: |S|={len(td)} E0={e_k:.6f} "
+              f"({corr(e_k):.1f}% corr)", flush=True)
+    if cmd == "target":
+        return
+
+    vmc = make_vmc(mol)
+    target = support_ci.make_target(td, tc, mol.qubit_num)
+
+    own = latest_ckpt(RUN_DIR)
+    src = own or WARM
+    params, _, key, stage = vmc.load_checkpoint(src)
+    if not own:
+        stage = 0
+    print(f"params from {src} (stage {stage})", flush=True)
+
+    results_path = os.path.join(RUN_DIR, "summary.json")
+    results = (json.load(open(results_path))
+               if os.path.exists(results_path)
+               else {"target_e0": e_k, "target_size": len(td),
+                     "target_corr_pct": corr(e_k), "stages": []})
+
+    def measure(prm, tag):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        e, var = support_ci.sampled_full_energy(
+            vmc, prm, sub, sample_num=8192, row_chunk=1024,
+        )
+        print(f"  [{tag}] sampled full energy {e:+.6f} "
+              f"({corr(e):.2f}% corr, {(e - cisd) * 1e3:+.3f} mHa vs "
+              f"CISD) var {var:.2e} [{time.perf_counter() - t0:.0f}s]",
+              flush=True)
+        return e
+
+    t0 = time.perf_counter()
+
+    def plog(row):
+        print(f"  distill {row['iter']:5d} loss {row['loss']:.6f} "
+              f"ce {row['cross_entropy']:.6f} best {row['best_loss']:.6f} "
+              f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+
+    def record(si, lr, e, ck):
+        results["stages"].append(
+            {"stage": si, "lr": lr, "full_e": e, "corr_pct": corr(e)}
+        )
+        best = min(s["full_e"] for s in results["stages"])
+        results["best_full_e"] = best
+        results["best_corr_pct"] = corr(best)
+        results["vs_cisd_mha"] = (best - cisd) * 1e3
+        with open(results_path, "w") as f:
+            json.dump(results, f, indent=1)
+
+    if cmd in ("all", "distill"):
+        stages = ((6000, 3e-4), (6000, 1e-4), (6000, 3e-5), (6000, 1e-5))
+        if stage == 0:
+            measure(params, "warm start")
+        for si, (iters, lr) in enumerate(stages):
+            if si < stage:
+                continue
+            params, _ = pretrain(
+                vmc.anqs, params, target["words"],
+                np.asarray(target["p"]), np.asarray(target["ph"]),
+                jax.random.PRNGKey(100 + si), iters=iters, lr=lr,
+                batch=8192, log_every=1000, on_log=plog,
+            )
+            e = measure(params, f"distill stage {si} lr={lr:g}")
+            ck = os.path.join(RUN_DIR, f"ckpt_{si + 1}")
+            vmc.save_checkpoint(ck, params, vmc.opt.init(params), key,
+                                si + 1)
+            record(si, lr, e, ck)
+
+    if cmd in ("all", "polish"):
+        def on_stage(row, prm):
+            si = 10 + row["stage"]
+            e = measure(prm, f"polish stage {row['stage']} "
+                             f"lr={row['lr']:g} mass={row['mass']:.6f}")
+            ck = os.path.join(RUN_DIR, f"ckpt_{si}")
+            vmc.save_checkpoint(ck, prm, vmc.opt.init(prm), key, si)
+            record(si, row["lr"], e, ck)
+
+        params, _ = support_ci.polish(
+            vmc.anqs, params, target, temp=4.0, lam=30.0, kind="lin",
+            lrs=(1e-4, 3e-5, 1e-5, 3e-6), steps=2000, window=200,
+            chunk=8192, on_stage=on_stage,
+        )
+
+    best = results.get("best_full_e")
+    if best is not None:
+        print(f"BEST sampled full energy {best:.6f} = "
+              f"{corr(best):.2f}% of CCSD(T) correlation "
+              f"({(best - cisd) * 1e3:+.3f} mHa vs CISD)")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,12 @@ def test_pipeline_reaches_near_fci_on_lih(tmp_path):
     assert info[-1]["mass"] > 0.98
 
     e_fin, var = scp.sampled_full_energy(vmc, params, key, 128)
+    # Row-chunked dispatch (HBM-gated path) must agree with one-shot.
+    e_chk, var_chk = scp.sampled_full_energy(
+        vmc, params, key, 128, row_chunk=32
+    )
+    assert abs(e_chk - e_fin) < 1e-6
+    assert abs(var_chk - var) < 1e-4 * max(1.0, abs(var))
     # Within 5 mHa of FCI from a RANDOM init via the pipeline alone
     # (measured: ~2.2 mHa), variational, and the on-support oracle is
     # at least as good as the sampled estimator.
