@@ -36,6 +36,7 @@ Usage: python examples/c2h4_support_ci.py [cmd]
   cmd = target  -> host enrichment only (CPU; writes target.npz)
   cmd = distill -> staged CE distillation (TPU)
   cmd = polish  -> mass-penalized polish (TPU)
+  cmd = confirm -> 5 repeated sampled measurements of the best stage
   cmd = all     -> everything, resumable (default)
 """
 
@@ -271,6 +272,25 @@ def main():
             lrs=(1e-4, 3e-5, 1e-5, 3e-6), steps=2000, window=200,
             chunk=8192, on_stage=on_stage,
         )
+
+    if cmd == "confirm":
+        # Li2O-style repeated confirmation of the best stage: 5
+        # independent sampled full-energy measurements from the best
+        # checkpoint (runs/li2o_sci/confirm_energies.npy counterpart).
+        stages_l = results.get("stages", [])
+        if not stages_l:
+            print("confirm: no recorded stages", flush=True)
+            return
+        best_stage = min(stages_l, key=lambda s: s["full_e"])
+        si = best_stage["stage"]
+        ck = os.path.join(RUN_DIR, f"ckpt_{si + 1 if si < 10 else si}")
+        params, _, key, _ = vmc.load_checkpoint(ck)
+        es = np.array(
+            [measure(params, f"confirm {i}") for i in range(5)]
+        )
+        np.save(os.path.join(RUN_DIR, "confirm_energies.npy"), es)
+        print(f"confirm: mean {es.mean():+.6f} +/- {es.std():.6f} "
+              f"({corr(es.mean()):.2f}% corr)", flush=True)
 
     best = results.get("best_full_e")
     if best is not None:

@@ -34,7 +34,8 @@ commit_artifacts() {  # msg path...
     [ -e "$p" ] || continue
     if [ -d "$p" ]; then
       for f in "$p"/best_energy.npy "$p"/config.json "$p"/result.csv \
-               "$p"/result.csv.gz "$p"/summary.json "$p"/target.npz; do
+               "$p"/result.csv.gz "$p"/summary.json "$p"/target.npz \
+               "$p"/confirm_energies.npy; do
         [ -e "$f" ] && git add -f "$f"
       done
       local last
@@ -72,6 +73,12 @@ run_job() {  # name timeout_s attempts cmd...
 run_job c2h4_sci 21600 4 python examples/c2h4_support_ci.py all
 commit_artifacts \
   "Queue6: C2H4 52q support-CI closure (distill + mass-penalized polish)" \
+  runs/c2h4_sci
+
+# Leg 1b: 5 repeated sampled confirmations of the best stage.
+run_job c2h4_sci_confirm 3600 2 python examples/c2h4_support_ci.py confirm
+commit_artifacts \
+  "Queue6: C2H4 support-CI repeated confirmation measurements" \
   runs/c2h4_sci
 
 # Leg 2: CISD-pretrained transformer at 52q (H2O-proven recipe).
