@@ -96,7 +96,8 @@ def distill(anqs, params, target, key, stages, batch: int = 8192,
 def polish(anqs, params, target, *, temp: float = 2.0, lam: float = 30.0,
            kind: str = "lin", lrs=(1e-4, 3e-5, 1e-5, 3e-6),
            steps: int = 2000, window: int = 200, chunk: int = 16384,
-           on_stage: Optional[Callable] = None):
+           on_stage: Optional[Callable] = None,
+           accept_fn: Optional[Callable] = None):
     """Full-support deterministic fit with the linear mass penalty.
 
     Every loss term is a linear sum of per-row quantities (the
@@ -104,6 +105,15 @@ def polish(anqs, params, target, *, temp: float = 2.0, lam: float = 30.0,
     reduces chunk by chunk under lax.map + jax.checkpoint (peak HBM =
     one chunk). The optimizer scan is windowed: single device dispatches
     over ~60-120 s kill the TPU worker (CLAUDE.md).
+
+    ``accept_fn(params) -> float`` is the ENERGY-acceptance guard
+    (round-3 C2H4 lesson: the polish loss decreased monotonically while
+    the sampled energy rose 290 mHa -- the regression terms are not
+    aligned with the Rayleigh quotient at 52q). When given, each LR
+    stage's result is measured; a stage whose energy is worse than the
+    best measured so far is ROLLED BACK (the next stage restarts from
+    the best accepted params), and the returned params are the best
+    accepted ones. A destructive stage can no longer ship.
     """
     words, p_t, la_t, ph_t = (
         target["words"], target["p"], target["la"], target["ph"]
@@ -160,6 +170,11 @@ def polish(anqs, params, target, *, temp: float = 2.0, lam: float = 30.0,
 
     metrics = jax.jit(lambda prm: loss_fn(prm)[1])
     info = []
+    best_e, best_params = None, None
+    if accept_fn is not None:
+        # The input state is acceptance candidate #0: a polish that only
+        # ever worsens the energy must return the untouched input.
+        best_e, best_params = float(accept_fn(params)), params
     for si, lr in enumerate(lrs):
         opt = optax.chain(
             optax.clip_by_global_norm(10.0),
@@ -201,9 +216,20 @@ def polish(anqs, params, target, *, temp: float = 2.0, lam: float = 30.0,
         params, bl = final_best(pf, bl, bp)
         _, _, _, m = metrics(params)
         row = {"stage": si, "lr": lr, "loss": float(bl), "mass": float(m)}
+        if accept_fn is not None:
+            e_stage = float(accept_fn(params))
+            row["energy"] = e_stage
+            if best_e is None or e_stage < best_e:
+                best_e, best_params = e_stage, params
+                row["accepted"] = True
+            else:
+                params = best_params  # roll back before the next stage
+                row["accepted"] = False
         info.append(row)
         if on_stage is not None:
             on_stage(row, params)
+    if accept_fn is not None and best_params is not None:
+        params = best_params
     return params, info
 
 
@@ -259,6 +285,195 @@ def sampled_full_energy(vmc, params, key, sample_num: int = 16384,
     e = float(w @ e_rows)
     var = float(w @ (e_rows - e) ** 2)
     return e, var
+
+
+def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
+                lrs=(3e-4, 1e-4, 3e-5), steps_per_stage: int = 600,
+                chunk: int = 16384, mass_lam: float = 0.0,
+                grad_clip: float = 10.0, log_every: int = 25,
+                sr_k: int = 0, sr_eps: float = 1e-4,
+                on_log: Optional[Callable] = None,
+                on_stage: Optional[Callable] = None,
+                accept_fn: Optional[Callable] = None):
+    """Support-restricted deterministic VMC: minimize the EXACT Rayleigh
+    quotient of the network over the enriched support.
+
+    Round-3 C2H4 post-mortem (runs/c2h4_sci): CE distillation saturates
+    its floor (best CE ~ target entropy 1.023 nats) at only 62% of the
+    correlation energy -- cross-entropy barely weights the amplitude
+    tail that carries the energy, and the tempered-regression polish is
+    a proxy loss that can (and did, -47% corr) decrease while the energy
+    rises. This optimizer uses the energy itself:
+
+      device:  la, ph = log_psi(params, support)        (chunked)
+      host:    c = exp(la + i ph);  e_loc = (H_S c)/c   (exact f64 CSR
+               sparse matvec over the restricted Hamiltonian -- every
+               connection inside the support, no sampling, no proxy)
+      device:  surrogate grad  2 sum_i g_i la_i + 2 sum_i h_i ph_i,
+               g = p (Re e_loc - E), h = p Im e_loc     (f64 on host;
+               the PRODUCT is passed to the device because p alone
+               underflows f32 at |S| = 262k, p_min ~ 1e-39)
+
+    The fixed point is the restricted ground state (the selected-CI
+    target vector, 98.6% corr for the C2H4 target); the exact restricted
+    energy is computed every step for free and drives best-snapshot
+    selection. Off-support leak is invisible to the restricted quotient,
+    so ``mass_lam`` adds the linear on-support-mass penalty from
+    ``polish`` and the mass is logged every step.
+
+    ``accept_fn(params) -> float`` (the sampled FULL energy) guards
+    stage transitions exactly as in ``polish``.
+
+    ``sr_k > 0`` applies the MinSR preconditioner (optim/sr.py) over
+    the top-``sr_k`` support rows by Born weight before the optimizer
+    update: the raw energy gradient descends ~linearly into the
+    ill-conditioned tail (measured on LiH: 4.7 mHa left after 1200
+    plain-Adam steps), and the sample-space Woodbury solve is the
+    repo's proven fix (the N2 flagship runs SR top-50).
+
+    No reference counterpart; this is the round-4 answer to VERDICT
+    item 1 (reference peaked-regime machinery: run_pyscf.py:304 IPR).
+    """
+    words, p_t = target["words"], target["p"]
+    n_rows = words.shape[0]
+    pad = (-n_rows) % chunk
+    n_ch = (n_rows + pad) // chunk
+
+    wc = jnp.pad(words, ((0, pad), (0, 0))).reshape(
+        (n_ch, chunk, words.shape[1])
+    )
+    vmask = jnp.pad(jnp.ones((n_rows,), jnp.float32), (0, pad)).reshape(
+        (n_ch, chunk)
+    )
+
+    @jax.jit
+    def forward(prm):
+        def part(xs):
+            w, vm = xs
+            la, ph = anqs.log_psi(prm, w)
+            la = jnp.where(vm > 0, la, -100.0)
+            ph = jnp.where(vm > 0, ph, 0.0)
+            return la, ph
+
+        la, ph = jax.lax.map(part, (wc, vmask))
+        return la.reshape(-1)[:n_rows], ph.reshape(-1)[:n_rows]
+
+    def loss_fn(prm, gc, hc_):
+        @jax.checkpoint
+        def part(xs):
+            w, vm, g, h = xs
+            la, ph = anqs.log_psi(prm, w)
+            la = jnp.where(vm > 0, la, 0.0)
+            ph = jnp.where(vm > 0, ph, 0.0)
+            mass = jnp.sum(vm * jnp.exp(2.0 * jnp.minimum(la, 20.0)))
+            return jnp.sum(g * la + h * ph), mass
+
+        s, m = jax.lax.map(part, (wc, vmask, gc, hc_))
+        loss = 2.0 * jnp.sum(s)
+        if mass_lam:
+            loss = loss + mass_lam * (1.0 - jnp.sum(m))
+        return loss, jnp.sum(m)
+
+    if sr_k > 0:
+        from ..optim.sr import SRConfig, sr_transform
+
+        sr_cfg = SRConfig(max_indices_num=sr_k, reg_eps=sr_eps)
+
+        def make_step(opt):
+            @jax.jit
+            def step(prm, ost, gc, hc_, top_words, top_f):
+                (_, m), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(prm, gc, hc_)
+                grads = sr_transform(
+                    anqs, prm, grads, top_words, top_f, sr_cfg
+                )
+                up, ost = opt.update(grads, ost, prm)
+                return optax.apply_updates(prm, up), ost, m
+
+            return step
+
+        np_words = np.asarray(words)
+    else:
+        def make_step(opt):
+            @jax.jit
+            def step(prm, ost, gc, hc_):
+                (_, m), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(prm, gc, hc_)
+                up, ost = opt.update(grads, ost, prm)
+                return optax.apply_updates(prm, up), ost, m
+
+            return step
+
+    h64 = h_csr  # scipy CSR, f64, no e_nuc on the diagonal
+    info = []
+    best_e, best_params = None, None
+    if accept_fn is not None:
+        best_e, best_params = float(accept_fn(params)), params
+
+    for si, lr in enumerate(lrs):
+        opt = optax.chain(
+            optax.clip_by_global_norm(grad_clip), optax.adam(lr)
+        )
+        step = make_step(opt)
+        ost = opt.init(params)
+        best_rq, best_rq_params = np.inf, params
+        for it in range(steps_per_stage):
+            la, ph = forward(params)
+            la64 = np.asarray(la, np.float64)
+            ph64 = np.asarray(ph, np.float64)
+            c = np.exp(la64 - la64.max()) * (
+                np.cos(ph64) + 1j * np.sin(ph64)
+            )
+            nrm = float(np.vdot(c, c).real)
+            hc = h64 @ c
+            e_loc = hc / c
+            p = (c.conj() * c).real / nrm
+            e_r = float(p @ e_loc.real)
+            rq = e_r + e_nuc
+            if rq < best_rq:
+                best_rq, best_rq_params = rq, params
+            g = (p * (e_loc.real - e_r)).astype(np.float32)
+            h = (p * e_loc.imag).astype(np.float32)
+
+            def pack(x):
+                return jnp.pad(jnp.asarray(x), (0, pad)).reshape(
+                    (n_ch, chunk)
+                )
+
+            if sr_k > 0:
+                k_eff = min(sr_k, n_rows)
+                idx = np.argpartition(-p, k_eff - 1)[:k_eff]
+                top_f = p[idx]
+                top_f = (top_f / top_f.sum()).astype(np.float32)
+                params, ost, m = step(
+                    params, ost, pack(g), pack(h),
+                    jnp.asarray(np_words[idx]), jnp.asarray(top_f),
+                )
+            else:
+                params, ost, m = step(params, ost, pack(g), pack(h))
+            if (it % log_every == 0 or it == steps_per_stage - 1) \
+                    and on_log is not None:
+                on_log({"stage": si, "iter": it, "rq": rq,
+                        "mass": float(m), "best_rq": best_rq})
+        params = best_rq_params
+        row = {"stage": si, "lr": lr, "best_rq": best_rq}
+        if accept_fn is not None:
+            e_stage = float(accept_fn(params))
+            row["energy"] = e_stage
+            if best_e is None or e_stage < best_e:
+                best_e, best_params = e_stage, params
+                row["accepted"] = True
+            else:
+                params = best_params
+                row["accepted"] = False
+        info.append(row)
+        if on_stage is not None:
+            on_stage(row, params)
+    if accept_fn is not None and best_params is not None:
+        params = best_params
+    return params, info
 
 
 def support_rayleigh(mol, target, anqs, params,
