@@ -18,9 +18,15 @@ def pauli_sum(qubit_num: int, terms, constant: float = 0.0):
     """terms: iterable of (pauli_string, weight) with pauli_string a dict
     {qubit: 'X'|'Y'|'Z'}. Returns a grouped PauliHamiltonian.
 
-    Y operators are absorbed into XZ form (Y = i X Z): a term with an odd
-    number of Ys gets an imaginary coefficient and is rejected (the engine is
-    real-Hamiltonian only, matching every model in scope).
+    Y operators are absorbed into XZ form (Y = i X Z, so a term carries
+    i^{#Y}): the sign part of i^{#Y} folds into the real weight, and an
+    odd-Y term's residual factor i becomes a SEPARATE group with the
+    same flip mask and ``phase_offsets`` entry pi/2 -- for any fixed
+    (a, b) pair the Y count popcount(a & b) is fixed, so each (a, b) is
+    purely real or purely imaginary and the two channels never mix.
+    (The reference carries complex weights instead,
+    pauli_observable.py:150-183; a real-weight + group-phase split maps
+    better onto the MXU sign-matmul pipeline.)
     """
     acc = {}
     const = constant
@@ -38,30 +44,38 @@ def pauli_sum(qubit_num: int, terms, constant: float = 0.0):
                 phase_i += 1
             else:
                 raise ValueError(p)
-        if phase_i % 2:
-            raise ValueError(
-                "odd number of Y operators => imaginary XZ weight; "
-                "real Hamiltonians only"
-            )
-        w_eff = float(w) * (-1.0 if phase_i % 4 == 2 else 1.0)
+        odd = phase_i % 2
+        # i^{#Y} = (+-1) for even #Y, (+-1) * i for odd #Y.
+        sign = -1.0 if phase_i % 4 in (2, 3) else 1.0
+        w_eff = float(w) * sign
         if a == 0 and b == 0:
             const += w_eff
             continue
-        acc[(a, b)] = acc.get((a, b), 0.0) + w_eff
+        acc[(a, odd, b)] = acc.get((a, odd, b), 0.0) + w_eff
 
-    pairs = sorted(acc.items(), key=lambda kv: (kv[0][0], kv[0][1]))
+    pairs = sorted(acc.items())
     a_all = np.array([p[0][0] for p in pairs], dtype=np.uint64)
-    b_all = np.array([p[0][1] for p in pairs], dtype=np.uint64)
+    odd_all = np.array([p[0][1] for p in pairs], dtype=np.int64)
+    b_all = np.array([p[0][2] for p in pairs], dtype=np.uint64)
     w_all = np.array([p[1] for p in pairs], dtype=np.float64)
-    unique_a, first = np.unique(a_all, return_index=True)
+    change = np.ones(len(pairs), dtype=bool)
+    change[1:] = (a_all[1:] != a_all[:-1]) | (odd_all[1:] != odd_all[:-1])
+    first = np.flatnonzero(change)
     group_starts = np.concatenate([first, [len(a_all)]]).astype(np.int64)
+    group_a = a_all[first]
+    group_odd = odd_all[first]
+    has_imag = bool(group_odd.any())
     return PauliHamiltonian(
         qubit_num=qubit_num,
         constant=const,
-        a_masks=ints_to_words(unique_a, qubit_num),
+        a_masks=ints_to_words(group_a, qubit_num),
         b_words=ints_to_words(b_all, qubit_num),
         weights=w_all,
         group_starts=group_starts,
+        phase_offsets=(
+            (np.pi / 2.0) * group_odd.astype(np.float64)
+            if has_imag else None
+        ),
     )
 
 
@@ -100,11 +114,15 @@ def exact_ground_energy(ham: PauliHamiltonian) -> float:
     n = ham.qubit_num
     assert n <= 14
     dim = 1 << n
-    a_ints = words_to_ints(ham.a_masks)
-    mat = np.zeros((dim, dim))
+    cplx = ham.phase_offsets is not None
+    # dense_matrix_element sums over EVERY group matching the flip mask,
+    # so iterate unique flips only (duplicate a_masks carry the odd-Y
+    # imaginary channel).
+    a_uniq = sorted(set(words_to_ints(ham.a_masks).tolist()))
+    mat = np.zeros((dim, dim), dtype=np.complex128 if cplx else np.float64)
     for x in range(dim):
-        for m in range(ham.n_groups):
-            a = int(a_ints[m])
+        for a in a_uniq:
+            a = int(a)
             mat[x ^ a, x] += ham.dense_matrix_element(x, x ^ a) - (
                 ham.constant if a == 0 else 0.0
             )

@@ -37,10 +37,18 @@ class PauliHamiltonian:
 
     qubit_num: int
     constant: float  # identity coefficient + nuclear repulsion
-    a_masks: np.ndarray  # (M, W) uint32 unique flip masks (A == xy)
+    a_masks: np.ndarray  # (M, W) uint32 sorted flip masks (A == xy);
+    #   duplicates allowed: an odd-Y (imaginary-weight) channel is a
+    #   SECOND group with the same A and phase_offset pi/2
     b_words: np.ndarray  # (T, W) uint32 sign masks per term (B == yz)
-    weights: np.ndarray  # (T,) float64
+    weights: np.ndarray  # (T,) float64 (real; i^{#Y} signs folded, the
+    #   remaining factor i for odd-Y groups lives in phase_offsets)
     group_starts: np.ndarray  # (M+1,) int64 CSR offsets into b_words/weights
+    phase_offsets: object = None  # (M,) float or None: per-group phase
+    #   of the matrix element <x^A|H_m|x> = e^{i off} sum_b w (-1)^{b.x}.
+    #   None == all-real Hamiltonian (every molecular JW case). Odd-Y
+    #   Pauli groups carry off = pi/2 (reference carries these as
+    #   complex weights, pauli_observable.py:150-183).
 
     @property
     def n_groups(self) -> int:
@@ -50,19 +58,29 @@ class PauliHamiltonian:
     def n_terms(self) -> int:
         return self.weights.shape[0]
 
-    def dense_matrix_element(self, x_bits: int, y_bits: int) -> float:
-        """Oracle <y|H|x> for tests (python ints, any qubit count)."""
+    def dense_matrix_element(self, x_bits: int, y_bits: int):
+        """Oracle <y|H|x> for tests (python ints, any qubit count).
+
+        Returns a float for real Hamiltonians, complex when any group
+        carries a phase offset (odd-Y terms)."""
         flip = x_bits ^ y_bits
         a_ints = words_to_pyints(self.a_masks)
         b_ints = words_to_pyints(self.b_words)
-        val = self.constant if flip == 0 else 0.0
+        cplx = self.phase_offsets is not None
+        val = complex(0.0) if cplx else 0.0
+        if flip == 0:
+            val += self.constant
         m = int(np.searchsorted(a_ints, flip))
-        if m < len(a_ints) and a_ints[m] == flip:
+        while m < len(a_ints) and a_ints[m] == flip:
             s, e = self.group_starts[m], self.group_starts[m + 1]
+            fac = (
+                np.exp(1j * float(self.phase_offsets[m])) if cplx else 1.0
+            )
             for t in range(s, e):
                 par = bin(x_bits & int(b_ints[t])).count("1") % 2
-                val += self.weights[t] * (-1.0 if par else 1.0)
-        return float(val)
+                val += fac * self.weights[t] * (-1.0 if par else 1.0)
+            m += 1
+        return complex(val) if cplx else float(val)
 
 
 def ints_to_words(values, qubit_num: int) -> np.ndarray:

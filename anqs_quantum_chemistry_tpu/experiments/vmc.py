@@ -20,6 +20,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import json
+import logging
 import os
 import time
 from typing import Optional, Tuple
@@ -1389,14 +1390,35 @@ class VMC:
         with ocp.StandardCheckpointer() as ckptr:
             try:
                 state = ckptr.restore(os.path.abspath(path), template)
-            except Exception:
+            except Exception as exc:
                 # Optimizer-state structure changed across versions (e.g.
                 # the apply_if_finite wrapper): raw template-free restore,
-                # keep params/key/iter, start the optimizer fresh.
+                # keep params/key/iter, start the optimizer fresh. The
+                # PARAM tree must still match -- a silent param fallback
+                # would quietly change the model (VERDICT r3 item 9) --
+                # and losing Adam moments changes the trajectory, so say
+                # so loudly.
                 raw = ocp.PyTreeCheckpointer().restore(
                     os.path.abspath(path)
                 )
                 restored = jax.tree.map(jnp.asarray, raw["params"])
+                want = jax.tree.map(
+                    lambda x: (x.shape, x.dtype), params
+                )
+                got = jax.tree.map(
+                    lambda x: (x.shape, x.dtype), restored
+                )
+                if want != got:
+                    raise ValueError(
+                        f"checkpoint {path} param tree does not match "
+                        f"this model: {got} vs expected {want}"
+                    ) from exc
+                logging.warning(
+                    "load_checkpoint(%s): optimizer state structure "
+                    "mismatch (%s); starting the optimizer FRESH -- "
+                    "Adam moments are lost and the resumed trajectory "
+                    "will differ.", path, exc,
+                )
                 state = {
                     "params": restored,
                     "key": jnp.asarray(raw["key"], jnp.uint32),

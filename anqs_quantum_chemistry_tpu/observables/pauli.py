@@ -227,6 +227,25 @@ class PauliEngine:
         self.group_id = jnp.asarray(group_id, dtype=jnp.int32)
         self.weights = jnp.asarray(ham.weights, dtype=jnp.float32)
 
+        # Complex-weight (odd-Y) channel: a per-group phase on the
+        # matrix element <x^A|H_m|x> = e^{i off_m} sum_b w (-1)^{b.x}
+        # (reference: complex weights, pauli_observable.py:150-183).
+        # E_loc needs the CONJUGATE direction <x|H|x^A>, so the combines
+        # rotate dph by -off_m. None for real Hamiltonians (all JW
+        # molecular cases): zero added work on the flagship path.
+        if ham.phase_offsets is not None and np.any(ham.phase_offsets):
+            self.group_phase = jnp.asarray(
+                ham.phase_offsets, dtype=jnp.float32
+            )
+            assert self.membership not in ("prefilter", "hash_dist"), (
+                "the prefilter/hash_dist compaction paths do not carry "
+                "the per-group phase channel; use table/search/hash/"
+                "sector membership for odd-Y (imaginary-weight) "
+                "Hamiltonians"
+            )
+        else:
+            self.group_phase = None
+
     # ------------------------------------------------------------------
     def _regroup_by_size_class(
         self, ham: PauliHamiltonian
@@ -269,6 +288,10 @@ class PauliEngine:
             b_words=np.vstack(b_parts),
             weights=np.concatenate(w_parts),
             group_starts=np.asarray(starts, dtype=np.int64),
+            phase_offsets=(
+                None if ham.phase_offsets is None
+                else np.asarray(ham.phase_offsets)[order]
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -1041,6 +1064,8 @@ class PauliEngine:
         per-partner ratio clip (both only bind on |log| > 60 rows,
         where e_re is a saturated diagnostic either way)."""
         dph = ph_p - phase[:, None]
+        if self.group_phase is not None:
+            dph = dph - self.group_phase[None, :]
         amp_p = jnp.where(found, jnp.exp(la_p) * me, 0.0)
         s_re = jnp.sum(amp_p * jnp.cos(dph), axis=1)
         s_im = jnp.sum(amp_p * jnp.sin(dph), axis=1)
@@ -1065,6 +1090,8 @@ class PauliEngine:
             )
         )
         dph = ph_p - phase[:, None]
+        if self.group_phase is not None:
+            dph = dph - self.group_phase[None, :]
         contrib = jnp.where(found, me * ratio, 0.0)
         e_re = jnp.sum(contrib * jnp.cos(dph), axis=1) + self.constant
         e_im = jnp.sum(contrib * jnp.sin(dph), axis=1)
@@ -1123,6 +1150,8 @@ class PauliEngine:
         me = self.matrix_elements(words)
         ratio = jnp.exp(jnp.clip(la_p - log_abs[:, None], -60.0, 60.0))
         dph = ph_p - phase[:, None]
+        if self.group_phase is not None:
+            dph = dph - self.group_phase[None, :]
         e_re = jnp.sum(me * ratio * jnp.cos(dph), axis=1) + self.constant
         e_im = jnp.sum(me * ratio * jnp.sin(dph), axis=1)
         e_re = jnp.where(valid, e_re, 0.0)

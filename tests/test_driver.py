@@ -132,6 +132,56 @@ def test_checkpoint_save_load_resume_roundtrip(tmp_path):
     assert float(m_a["energy"]) == float(m_b["energy"])
 
 
+def test_checkpoint_mismatch_paths(tmp_path):
+    """load_checkpoint on a structure mismatch: an optimizer-state
+    mismatch falls back to a fresh optimizer WITH a logged warning and
+    intact params; a PARAM-tree mismatch refuses loudly instead of
+    silently swapping the model (VERDICT r3 item 9)."""
+    import logging
+
+    import pytest
+
+    vmc = make_vmc(tmp_path)
+    params, opt_state, key = vmc.init_state()
+    ckpt = os.path.join(str(tmp_path), "ckpt_m")
+    vmc.save_checkpoint(ckpt, params, opt_state, key, 7)
+
+    # Different optimizer -> template restore fails -> fallback path.
+    vmc_sgd = make_vmc(tmp_path, opt_type="sgd")
+    import logging as _l
+
+    records = []
+    handler = _l.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    _l.getLogger().addHandler(handler)
+    try:
+        p2, o2, k2, it2 = vmc_sgd.load_checkpoint(ckpt)
+    finally:
+        _l.getLogger().removeHandler(handler)
+    assert it2 == 7
+    from jax.flatten_util import ravel_pytree
+
+    np.testing.assert_array_equal(
+        np.asarray(ravel_pytree(params)[0]),
+        np.asarray(ravel_pytree(p2)[0]),
+    )
+    assert any("optimizer state structure" in m for m in records)
+
+    # Different model -> params cannot match -> hard error.
+    mol = Molecule.create(
+        MolConfig(name="H2"), mols_dir="mols", run_fci=False,
+        run_cisd=False,
+    )
+    vmc_big = VMC(
+        mol,
+        VMCConfig(sample_num=8, sampling_mode="gumbel",
+                  qubit_per_qudit=2, seed=1),
+        AnqsConfig(hidden_widths=(16,)),
+    )
+    with pytest.raises(ValueError, match="param tree does not match"):
+        vmc_big.load_checkpoint(ckpt)
+
+
 def test_best_model_cascade(tmp_path):
     extra = os.path.join(str(tmp_path), "series_scope")
     vmc = make_vmc(

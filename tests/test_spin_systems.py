@@ -62,8 +62,154 @@ def test_xxz_matches_dense():
     assert abs(e0 - expected) < 1e-9
 
 
-def test_odd_y_rejected():
+SX = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+SY = np.array([[0, -1j], [1j, 0]], dtype=np.complex128)
+SZ = np.array([[1, 0], [0, -1]], dtype=np.complex128)
+
+
+def _kron_at(n, op, i):
+    # Determinant convention: qubit 0 = LEAST significant bit, so it
+    # must be the last kron factor.
+    out = np.eye(1, dtype=np.complex128)
+    for j in reversed(range(n)):
+        out = np.kron(out, op if j == i else np.eye(2))
+    return out
+
+
+def _dm_chain(n, jxy=1.0, d=0.6):
+    """XY chain + Dzyaloshinskii-Moriya term: every DM term has an odd
+    Y count (the imaginary-weight channel the reference carries as
+    complex weights, pauli_observable.py:150-183)."""
+    terms = []
+    for i in range(n - 1):
+        terms.append(({i: "X", i + 1: "X"}, jxy))
+        terms.append(({i: "Y", i + 1: "Y"}, jxy))
+        terms.append(({i: "X", i + 1: "Y"}, d))
+        terms.append(({i: "Y", i + 1: "X"}, -d))
+    return pauli_sum(n, terms)
+
+
+def _dm_chain_dense(n, jxy=1.0, d=0.6):
+    mat = np.zeros((2**n, 2**n), dtype=np.complex128)
+    for i in range(n - 1):
+        mat += jxy * _kron_at(n, SX, i) @ _kron_at(n, SX, i + 1)
+        mat += jxy * _kron_at(n, SY, i) @ _kron_at(n, SY, i + 1)
+        mat += d * _kron_at(n, SX, i) @ _kron_at(n, SY, i + 1)
+        mat -= d * _kron_at(n, SY, i) @ _kron_at(n, SX, i + 1)
+    return mat
+
+
+def test_odd_y_single_y_term():
+    """Y alone: <1|Y|0> = i, <0|Y|1> = -i, E0 = -1."""
+    ham = pauli_sum(2, [({0: "Y"}, 1.0)])
+    assert ham.phase_offsets is not None
+    me = ham.dense_matrix_element(0, 1)  # <1|Y|0>
+    assert abs(me - 1j) < 1e-12
+    me_t = ham.dense_matrix_element(1, 0)  # <0|Y|1> = conj
+    assert abs(me_t - (-1j)) < 1e-12
+    assert abs(exact_ground_energy(ham) - (-1.0)) < 1e-10
+
+
+def test_dm_chain_dense_matrix_oracle():
+    """Every matrix element of the XY+DM chain matches the complex kron
+    oracle, and exact_ground_energy agrees with its spectrum."""
+    n = 4
+    ham = _dm_chain(n)
+    dense = _dm_chain_dense(n)
+    for x in range(2**n):
+        for y in range(2**n):
+            got = ham.dense_matrix_element(x, y)
+            assert abs(got - dense[y, x]) < 1e-12, (x, y)
+    e0 = exact_ground_energy(ham)
+    assert abs(e0 - np.linalg.eigvalsh(dense)[0]) < 1e-10
+    # Mixed channels: both real (XX/YY) and imaginary (XY/YX) groups.
+    offs = np.asarray(ham.phase_offsets)
+    assert (offs == 0).any() and (abs(offs - np.pi / 2) < 1e-12).any()
+
+
+def test_odd_y_local_energy_vs_dense():
+    """Engine E_loc over the full basis of the XY+DM chain equals the
+    dense complex oracle <x|H|psi>/psi(x) on every membership backend
+    that carries the phase channel (VERDICT r4 item 6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anqs_quantum_chemistry_tpu.models import ANQS, AnqsConfig
+    from anqs_quantum_chemistry_tpu.observables import PauliEngine
+    from anqs_quantum_chemistry_tpu.ops import bits as bitops
+    from anqs_quantum_chemistry_tpu.ops import keys
+    from anqs_quantum_chemistry_tpu.symmetries import (
+        Masker,
+        QubitGrouping,
+        idle_symmetry,
+    )
+
+    n = 6
+    ham = _dm_chain(n)
+    dense = _dm_chain_dense(n)
+    masker = Masker([idle_symmetry(n)])
+    grouping = QubitGrouping.create(masker, qubit_per_qudit=2)
+    anqs = ANQS(grouping, AnqsConfig(hidden_widths=(32,)))
+    params = anqs.init(jax.random.PRNGKey(3))
+
+    dets = list(range(2**n))
+    bits = np.array([[(x >> i) & 1 for i in range(n)] for x in dets])
+    words = bitops.pack(jnp.asarray(bits))
+    sw, _ = keys.sort_words(words)
+    sorted_bits = np.asarray(bitops.unpack(sw, n))
+    sorted_dets = [
+        int(sum(int(bb) << i for i, bb in enumerate(r)))
+        for r in sorted_bits
+    ]
+    la, ph = anqs.log_psi(params, sw)
+    la_np = np.asarray(la, np.float64)
+    ph_np = np.asarray(ph, np.float64)
+    psi = np.exp(la_np + 1j * ph_np)
+    perm = np.ix_(sorted_dets, sorted_dets)
+    e_exact = (dense[perm] @ psi) / psi  # row x: sum_y <x|H|y> psi_y
+
+    valid = jnp.ones((len(dets),), bool)
+    for mem in ("search", "table", "hash"):
+        eng = PauliEngine(ham, membership=mem)
+        e = eng.local_energy_proxy(sw, la, ph, valid)
+        np.testing.assert_allclose(
+            np.asarray(e.e_re), e_exact.real, rtol=2e-4, atol=2e-4,
+            err_msg=mem,
+        )
+        np.testing.assert_allclose(
+            np.asarray(e.e_im), e_exact.imag, rtol=2e-4, atol=2e-4,
+            err_msg=mem,
+        )
+
+    # The compaction paths refuse the phase channel loudly.
     import pytest
 
-    with pytest.raises(ValueError):
-        pauli_sum(3, [({0: "Y"}, 1.0)])
+    with pytest.raises(AssertionError):
+        PauliEngine(ham, membership="prefilter")
+
+
+def test_dm_chain_vmc_trains_toward_exact_energy():
+    """6-site XY+DM chain trained through the full stack: the phase net
+    must learn a genuinely COMPLEX ground state (odd-Y terms), the
+    capability the round-3 engine rejected."""
+    from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
+    from anqs_quantum_chemistry_tpu.models import AnqsConfig
+    from anqs_quantum_chemistry_tpu.symmetries import Masker, idle_symmetry
+
+    n = 6
+    ham = _dm_chain(n)
+    e_exact = exact_ground_energy(ham)
+    masker = Masker([idle_symmetry(n)])
+    vmc = VMC(
+        ham=ham,
+        masker=masker,
+        ref_det=0,
+        config=VMCConfig(
+            sample_num=64, sampling_mode="gumbel", qubit_per_qudit=2,
+            lr=1e-2, iter_num=800, seed=0, symmetry_level="no_sym",
+        ),
+        anqs_config=AnqsConfig(hidden_widths=(64,)),
+    )
+    _, _, history, best = vmc.run(checkpoint_every=None, steps_per_call=50)
+    assert best["energy"] < e_exact + 0.01 * abs(e_exact)
+    assert best["energy"] > e_exact - 1e-3
