@@ -129,6 +129,17 @@ def main():
                 "value": round(rate_g, 1),
                 "unit": "found-pairs/sec",
                 "vs_baseline": round(rate_g / baseline, 3),
+                "baseline_provenance": (
+                    "ESTIMATED, not published: the reference repo "
+                    "publishes no benchmark numbers (BASELINE.md). "
+                    "2.8e6 found-pairs/s = Colab notebook's ~0.36 "
+                    "s/iter on Li2O/STO-3G at 1e4 unique samples x an "
+                    "ASSUMED ~1e2 connected determinants per sample "
+                    "(Colab GPU). vs_baseline therefore carries the "
+                    "uncertainty of that density assumption; the "
+                    "absolute found-pairs/sec and sec_per_iter values "
+                    "are directly measured on this chip."
+                ),
                 "sec_per_iter": round(spi_g, 5),
                 "energy_last": energy_g,
                 "sampled_dynamic": {
