@@ -316,8 +316,15 @@ def main():
                   f"mass {row['mass']:.6f} best {row['best_rq']:+.6f} "
                   f"[{time.perf_counter() - t0:.0f}s]", flush=True)
 
+        # Relaunches resume from the best stage and continue numbering
+        # after any rq stages already recorded (so a second rq wave never
+        # collides with / overwrites the first wave's stage rows).
+        rq_base = 20 + sum(
+            1 for s in results.get("stages", []) if s["stage"] >= 20
+        )
+
         def on_stage(row, prm):
-            si = 20 + row["stage"]
+            si = rq_base + row["stage"]
             if row.get("accepted", True):
                 vmc.save_checkpoint(
                     os.path.join(RUN_DIR, f"ckpt_{si}"),
@@ -336,9 +343,15 @@ def main():
             with open(results_path, "w") as f:
                 json.dump(results, f, indent=1)
 
+        # LR ladder: wave 1 (lrs=(3e-4,...), stage 20) was smooth and
+        # monotonic but slow -- 62.3 -> 82.5% corr in 900 iters with
+        # ~1.2 mHa/100-iter tail rate, far short of the ~30 mHa left.
+        # The LiH-proven recipe starts at 1e-3 (test_support_ci_pipeline:
+        # 0.141 mHa); per-iter best_rq snapshots + stage acceptance
+        # rollback bound the downside of the hotter start.
         params, info = support_ci.support_vmc(
             vmc.anqs, params, target, h, mol.e_nuc,
-            lrs=(3e-4, 1e-4, 3e-5, 1e-5), steps_per_stage=900,
+            lrs=(1e-3, 5e-4, 3e-4, 1.5e-4), steps_per_stage=900,
             chunk=8192, mass_lam=3.0, grad_clip=1000.0,
             log_every=50, on_log=on_log, on_stage=on_stage,
             accept_fn=lambda prm: measure(prm, "rq acceptance"),
