@@ -101,6 +101,15 @@ class PauliEngine:
         # all M groups, up to `prefilter_dense_rows` such rows per batch.
         prefilter_row_capacity: int = 64,
         prefilter_dense_rows: int = 256,
+        # Row-block size for the prefilter's stage 1-3a pipeline. The
+        # fingerprint pass, top_k compaction, and matrix elements all
+        # materialize (B, M)-shaped intermediates; at Cr2 scale
+        # (B=2048, M=472k) that is ~3.9 GB PER tensor and the step OOMs
+        # HBM at compile time (measured: 20.9 G needed of 15.75 G).
+        # Setting a block size runs those stages in lax.map row blocks so
+        # the peak is (block, M); None = unchunked (fine through C2H4
+        # scale, M ~ 21k).
+        pf_row_chunk: Optional[int] = None,
         # membership='hash_dist' only: device mesh whose `mesh_axis` shards
         # the sample rows; the hash table is sharded bucket-wise over the
         # same axis with all_to_all query routing
@@ -160,6 +169,7 @@ class PauliEngine:
         self.lookup_chunk = lookup_chunk
         self.prefilter_row_capacity = prefilter_row_capacity
         self.prefilter_dense_rows = prefilter_dense_rows
+        self.pf_row_chunk = pf_row_chunk
         self.dist_entry_slack = dist_entry_slack
         self.dist_query_slack = dist_query_slack
         self.hash_extra_bits = hash_extra_bits
@@ -938,12 +948,6 @@ class PauliEngine:
             words, log_abs, phase, valid, with_fp=True
         )
 
-        # --- Stage 1: (B, M) candidate mask from the fingerprint pass.
-        xp_cols = tuple(
-            words[:, i][:, None] ^ self.a_words[:, i][None, :]
-            for i in range(w)
-        )
-
         def fp_probe(*qs):
             bucket = (
                 self._bucket_hash(qs) & jnp.uint32(nb - 1)
@@ -958,33 +962,69 @@ class PauliEngine:
             )[..., 0]
             return (count > 0.5,)
 
-        (hit_flat,) = self._chunked_queries(
-            fp_probe, tuple(c.reshape(-1) for c in xp_cols)
-        )
-        hit = hit_flat.reshape(b, m) & valid[:, None]
+        def row_block(words_c, phase_c, valid_c):
+            """Stages 1-3a over a block of sample rows: every (rows, M)
+            intermediate (fingerprint hits, compaction keys, matrix
+            elements) is bounded by the block size."""
+            bc = words_c.shape[0]
 
-        # --- Stage 2: per-row compaction (descending key = hit groups in
-        # ascending-m order; 0 = no candidate).
-        key_mat = jnp.where(
-            hit, m - jnp.arange(m, dtype=jnp.int32)[None, :], 0
-        )
-        row_count = jnp.sum(hit, axis=1).astype(jnp.int32)
-        kvals, m_idx = jax.lax.top_k(key_mat, c_row)
-        pair_ok = kvals > 0
+            # --- Stage 1: (bc, M) candidate mask from the fingerprint
+            # pass.
+            xp_cols = tuple(
+                words_c[:, i][:, None] ^ self.a_words[:, i][None, :]
+                for i in range(w)
+            )
+            (hit_flat,) = self._chunked_queries(
+                fp_probe, tuple(c.reshape(-1) for c in xp_cols)
+            )
+            hit = hit_flat.reshape(bc, m) & valid_c[:, None]
 
-        me = self.matrix_elements(words)  # (B, M)
+            # --- Stage 2: per-row compaction (descending key = hit
+            # groups in ascending-m order; 0 = no candidate).
+            key_mat = jnp.where(
+                hit, m - jnp.arange(m, dtype=jnp.int32)[None, :], 0
+            )
+            row_count = jnp.sum(hit, axis=1).astype(jnp.int32)
+            kvals, m_idx = jax.lax.top_k(key_mat, c_row)
+            pair_ok = kvals > 0
 
-        # --- Stage 3a: exact verification of compacted candidates.
-        q_cols = tuple(
-            (words[:, i][:, None] ^ self.a_words[:, i][m_idx]).reshape(-1)
-            for i in range(w)
-        )
-        la1, ph1 = self._hash_query(tab, nb, q_cols)
-        la1 = la1.reshape(b, c_row)
-        ph1 = ph1.reshape(b, c_row)
-        found1 = (la1 > 0.5 * neg) & pair_ok
-        me1 = jnp.take_along_axis(me, m_idx, axis=1)
-        sums1 = self._combine_rows(me1, la1, ph1, found1, phase)
+            me = self.matrix_elements(words_c)  # (bc, M)
+
+            # --- Stage 3a: exact verification of compacted candidates.
+            q_cols = tuple(
+                (
+                    words_c[:, i][:, None] ^ self.a_words[:, i][m_idx]
+                ).reshape(-1)
+                for i in range(w)
+            )
+            la1, ph1 = self._hash_query(tab, nb, q_cols)
+            la1 = la1.reshape(bc, c_row)
+            ph1 = ph1.reshape(bc, c_row)
+            found1 = (la1 > 0.5 * neg) & pair_ok
+            me1 = jnp.take_along_axis(me, m_idx, axis=1)
+            sums = self._combine_rows(me1, la1, ph1, found1, phase_c)
+            return sums + (row_count,)
+
+        rc = self.pf_row_chunk
+        if rc is None or b <= rc:
+            *sums1, row_count = row_block(words, phase, valid)
+        else:
+            pad_r = (-b) % rc
+            wp = jnp.pad(words, ((0, pad_r), (0, 0)))
+            php = jnp.pad(phase, (0, pad_r))
+            vp = jnp.pad(valid, (0, pad_r))  # pads False: rows inert
+            outs = jax.lax.map(
+                lambda t: row_block(*t),
+                (
+                    wp.reshape(-1, rc, w),
+                    php.reshape(-1, rc),
+                    vp.reshape(-1, rc),
+                ),
+            )
+            *sums1, row_count = tuple(
+                o.reshape(-1)[:b] for o in outs
+            )
+        sums1 = tuple(sums1)
 
         # --- Stage 3b: dense fallback for rows over capacity.
         over = valid & (row_count > c_row)

@@ -58,11 +58,18 @@ def main():
             couple_ref_dets=64,
             sr=SRConfig(max_indices_num=50),
             engine_overrides={
-                # (B, T) sign grid: 1024 x 2.24M f32 = 9.2 GB > HBM;
-                # chunk rows so the transient is (256, T) = 2.3 GB.
-                "me_chunk": 256,
+                # Attempts 1-2 OOMed HBM at compile (20.9 G of 15.75 G,
+                # 64.7% fragmentation): at B=2048 x M=472k, EVERY (B, M)
+                # intermediate of the prefilter (fingerprint hits, top_k
+                # keys, matrix elements) is ~3.9 GB, and the dense
+                # fallback added (2048, M) la/ph/me grids on top. Fix:
+                # run stages 1-3a in 128-row blocks (peak (128, M) =
+                # 241 MB/tensor) and size the dense-fallback buffer for
+                # the few over-capacity rows instead of the whole batch.
+                "me_chunk": 128,
+                "pf_row_chunk": 128,
                 "prefilter_row_capacity": 1024,
-                "prefilter_dense_rows": 2048,
+                "prefilter_dense_rows": 64,
             },
         ),
         AnqsConfig(hidden_widths=(1024,), logit_cap=8.0),

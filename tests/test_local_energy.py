@@ -381,11 +381,33 @@ def test_membership_prefilter_matches_search():
     e = check(mol.qubit_ham, sw, la, ph, sv)
     assert int(e.pf_dropped_rows) == 0
 
+    # Row-blocked stage 1-3a pipeline (the Cr2-scale HBM fix: peak
+    # intermediates are (block, M), not (B, M)) is bit-exact vs the
+    # unchunked prefilter, including a non-dividing block size.
+    e_blk = PauliEngine(
+        mol.qubit_ham, membership="prefilter", pf_row_chunk=40,
+    ).local_energy_proxy(sw, la, ph, sv)
+    for f in ("e_re", "e_im", "t_re", "t_im"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(e_blk, f)), np.asarray(getattr(e, f))
+        )
+    assert int(e_blk.found_pairs) == int(e.found_pairs)
+    assert int(e_blk.pf_dropped_rows) == 0
+
     # Tiny row capacity forces the dense fallback; large enough dense-row
     # buffer keeps the result exact.
     e = check(
         mol.qubit_ham, sw, la, ph, sv,
         prefilter_row_capacity=2, prefilter_dense_rows=96,
+    )
+    assert int(e.pf_dropped_rows) == 0
+
+    # Dense fallback under row blocking (row_count crosses block
+    # boundaries; the fallback itself stays global).
+    e = check(
+        mol.qubit_ham, sw, la, ph, sv,
+        prefilter_row_capacity=2, prefilter_dense_rows=96,
+        pf_row_chunk=32,
     )
     assert int(e.pf_dropped_rows) == 0
 
