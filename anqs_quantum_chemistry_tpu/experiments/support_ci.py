@@ -644,6 +644,7 @@ def support_vmc_lbfgs(anqs, params, target, h_csr, e_nuc: float, *,
 
     x = np.asarray(flat0, np.float64)
     n_seg = max(1, -(-maxiter // segment))
+    prev_best = np.inf
     for si in range(n_seg):
         state["best_rq"], state["best_x"] = np.inf, None
         res = scipy.optimize.minimize(
@@ -667,9 +668,16 @@ def support_vmc_lbfgs(anqs, params, target, h_csr, e_nuc: float, *,
         info.append(row)
         if on_stage is not None:
             on_stage(row, params)
-        converged = res.nit < max(2, segment // 10)
-        if converged:
+        # Stop only on measured stagnation (< 1 uHa of exact-rq gain
+        # over a whole segment). scipy's own early terminations
+        # (line-search failures, the relative-f test tripping on f32
+        # forward roughness -- observed at C2H4 scale with a stiff
+        # mass penalty) are NOT convergence: a fresh restart clears
+        # the stale curvature pairs and resumes descent.
+        seg_gain = prev_best - state["best_rq"]
+        if np.isfinite(prev_best) and seg_gain < 1e-6:
             break
+        prev_best = min(prev_best, state["best_rq"])
     if accept_fn is not None and best_params is not None:
         params = best_params
     return params, info

@@ -420,7 +420,13 @@ def main():
         params, info = support_ci.support_vmc_lbfgs(
             vmc.anqs, params, target, h, mol.e_nuc,
             maxiter=int(sys.argv[2]) if len(sys.argv) > 2 else 2400,
-            segment=200, chunk=8192, mass_lam=3.0,
+            # mass_lam=0: the lam=3 penalty's stiff mass mode strangled
+            # the line search (3 uHa in 25 evals, premature scipy
+            # convergence); with lam=0 the probe descended 0.44 mHa in
+            # 84 evals at ~3 s/eval, rate still rising. Leak is watched
+            # by the per-segment sampled-full-energy acceptance (which
+            # pays for leak directly) and logged mass.
+            segment=200, chunk=8192, mass_lam=0.0,
             log_every=25, on_log=on_log, on_stage=on_stage,
             accept_fn=lambda prm: measure(prm, "rql acceptance"),
         )
