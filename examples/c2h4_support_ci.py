@@ -426,7 +426,7 @@ def main():
             # 84 evals at ~3 s/eval, rate still rising. Leak is watched
             # by the per-segment sampled-full-energy acceptance (which
             # pays for leak directly) and logged mass.
-            segment=200, chunk=8192, mass_lam=0.0,
+            segment=300, chunk=8192, mass_lam=0.0,
             log_every=25, on_log=on_log, on_stage=on_stage,
             accept_fn=lambda prm: measure(prm, "rql acceptance"),
         )
