@@ -523,6 +523,8 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
 def support_vmc_lbfgs(anqs, params, target, h_csr, e_nuc: float, *,
                       maxiter: int = 2000, segment: int = 200,
                       chunk: int = 16384, mass_lam: float = 3.0,
+                      mass_floor: Optional[float] = None,
+                      mass_width: float = 2e-4,
                       history: int = 20, log_every: int = 25,
                       on_log: Optional[Callable] = None,
                       on_stage: Optional[Callable] = None,
@@ -543,12 +545,24 @@ def support_vmc_lbfgs(anqs, params, target, h_csr, e_nuc: float, *,
     (objective='overlap': +0.90) is tail-blind like CE; the curvature,
     not the objective, is the bottleneck.
 
-    Objective: f(x) = rq(x) + mass_lam * (1 - mass(x)) where mass is
-    the RAW on-support probability mass (autoregressive networks are
+    Objective: f(x) = rq(x) + a smooth HINGE barrier on the on-support
+    mass, mass_lam * w * softplus((mass_floor - mass) / w). Mass is the
+    RAW on-support probability mass (autoregressive networks are
     full-space normalized, so 1 - mass is exactly the off-support leak,
     invisible to the restricted quotient and ~Ha-expensive in the
-    sampled full energy). Gradient: the support_vmc surrogate with
-    g_i += -mass_lam * q_i (q = exp(2 la), unnormalized).
+    sampled full energy). Why a hinge and not the Adam path's linear
+    penalty: both constant-gradient variants fail at C2H4 scale --
+    lam=3 strangles the line search (3 uHa/25 evals, premature scipy
+    convergence: the penalty's stiff mass mode couples every
+    coordinate), and lam=0 lets the optimizer CHEAT: the measured
+    stage-41 segment gained 2.2 mHa of exact rq while leaking
+    7e-4 of mass, and the sampled full energy moved 0.0 mHa -- the
+    leaked junk sits ~3 Ha up, paying back exactly the rq gain. The
+    hinge is a constraint, not an objective term: zero force while
+    mass >= mass_floor (L-BFGS optimizes pure rq), a mass_lam pull when
+    below. ``mass_floor`` defaults to the warm start's own mass.
+    Gradient: g_i += -mass_lam * sigmoid((mass_floor - mass)/w) * q_i
+    (q = exp(2 la), unnormalized).
 
     Runs in ``segment``-eval restarts (scipy cannot checkpoint its
     curvature history; a relay outage mid-run must not lose hours) --
@@ -600,7 +614,7 @@ def support_vmc_lbfgs(anqs, params, target, h_csr, e_nuc: float, *,
 
     h64 = h_csr
     state = {"evals": 0, "best_rq": np.inf, "best_x": None,
-             "last": None}
+             "last": None, "floor": mass_floor}
 
     def pack(x):
         return jnp.pad(jnp.asarray(x, jnp.float32), (0, pad)).reshape(
@@ -621,13 +635,24 @@ def support_vmc_lbfgs(anqs, params, target, h_csr, e_nuc: float, *,
         p = (c.conj() * c).real / nrm
         e_r = float(p @ e_loc.real)
         rq = e_r + e_nuc
-        mass = float(np.sum(np.exp(2.0 * np.minimum(la64, 20.0))))
-        if rq < state["best_rq"]:
+        q = np.exp(2.0 * np.minimum(la64, 20.0))
+        mass = float(np.sum(q))
+        if state["floor"] is None:
+            state["floor"] = (mass_floor if mass_floor is not None
+                              else mass)
+        m0, w = state["floor"], mass_width
+        # Smooth hinge: w*softplus((m0-mass)/w) -> 0 above the floor,
+        # -> (m0-mass) below it; sigmoid is its exact derivative.
+        u = (m0 - mass) / w
+        pen = mass_lam * w * (np.logaddexp(0.0, u))
+        sig = mass_lam / (1.0 + np.exp(-u))
+        # Snapshot selection on rq, but only while the mass constraint
+        # holds (a leaked state's rq overstates the full energy).
+        if rq < state["best_rq"] and mass >= m0 - 2.0 * w:
             state["best_rq"], state["best_x"] = rq, np.array(x)
         g = (p * (e_loc.real - e_r)).astype(np.float32)
         if mass_lam:
-            g = g - (mass_lam * np.exp(2.0 * np.minimum(la64, 20.0))
-                     ).astype(np.float32)
+            g = g - (sig * q).astype(np.float32)
         hh = (p * e_loc.imag).astype(np.float32)
         gp = sur_grad(prm, pack(g), pack(hh))
         gflat = np.asarray(ravel_pytree(gp)[0], np.float64)
@@ -635,7 +660,7 @@ def support_vmc_lbfgs(anqs, params, target, h_csr, e_nuc: float, *,
         if on_log is not None and state["evals"] % log_every == 0:
             on_log({"eval": state["evals"], "rq": rq, "mass": mass,
                     "best_rq": state["best_rq"]})
-        return rq + mass_lam * (1.0 - mass), gflat
+        return rq + pen, gflat
 
     info = []
     best_e, best_params = None, None

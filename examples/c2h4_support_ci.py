@@ -420,13 +420,13 @@ def main():
         params, info = support_ci.support_vmc_lbfgs(
             vmc.anqs, params, target, h, mol.e_nuc,
             maxiter=int(sys.argv[2]) if len(sys.argv) > 2 else 2400,
-            # mass_lam=0: the lam=3 penalty's stiff mass mode strangled
-            # the line search (3 uHa in 25 evals, premature scipy
-            # convergence); with lam=0 the probe descended 0.44 mHa in
-            # 84 evals at ~3 s/eval, rate still rising. Leak is watched
-            # by the per-segment sampled-full-energy acceptance (which
-            # pays for leak directly) and logged mass.
-            segment=300, chunk=8192, mass_lam=0.0,
+            # Hinge mass barrier (support_vmc_lbfgs docstring): lam=3
+            # constant-penalty strangled the line search; lam=0 leaked
+            # 7e-4 mass whose ~3 Ha junk paid back the entire 2.2 mHa
+            # rq gain (stage 41, sampled full energy unmoved). The
+            # hinge pins mass at the warm start's value with zero force
+            # above it.
+            segment=300, chunk=8192, mass_lam=30.0, mass_width=2e-4,
             log_every=25, on_log=on_log, on_stage=on_stage,
             accept_fn=lambda prm: measure(prm, "rql acceptance"),
         )
