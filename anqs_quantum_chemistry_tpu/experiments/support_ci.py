@@ -525,6 +525,7 @@ def support_vmc_lbfgs(anqs, params, target, h_csr, e_nuc: float, *,
                       chunk: int = 16384, mass_lam: float = 3.0,
                       mass_floor: Optional[float] = None,
                       mass_width: float = 2e-4,
+                      mass_slack: float = 0.0,
                       history: int = 20, log_every: int = 25,
                       on_log: Optional[Callable] = None,
                       on_stage: Optional[Callable] = None,
@@ -638,8 +639,17 @@ def support_vmc_lbfgs(anqs, params, target, h_csr, e_nuc: float, *,
         q = np.exp(2.0 * np.minimum(la64, 20.0))
         mass = float(np.sum(q))
         if state["floor"] is None:
+            # C2H4-scale measurement (runs/logs/c2h4_rql3.log evals
+            # 25-100): floor AT the warm-start mass with w=2e-4 leaves
+            # sigmoid(0)=lam/2 of force at the start point -- 15-150x
+            # the energy-gradient scale -- and L-BFGS spends the whole
+            # segment RAISING mass (0.999802 -> 0.999822) while rq
+            # worsens. The hinge must be a wall, not a slope: set the
+            # floor `mass_slack` BELOW the warm start and make the
+            # width small, so the interior force at the start is
+            # lam*sigmoid(-slack/width) ~ O(1) and decays upward.
             state["floor"] = (mass_floor if mass_floor is not None
-                              else mass)
+                              else mass - mass_slack)
         m0, w = state["floor"], mass_width
         # Smooth hinge: w*softplus((m0-mass)/w) -> 0 above the floor,
         # -> (m0-mass) below it; sigmoid is its exact derivative.

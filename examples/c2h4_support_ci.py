@@ -423,10 +423,16 @@ def main():
             # Hinge mass barrier (support_vmc_lbfgs docstring): lam=3
             # constant-penalty strangled the line search; lam=0 leaked
             # 7e-4 mass whose ~3 Ha junk paid back the entire 2.2 mHa
-            # rq gain (stage 41, sampled full energy unmoved). The
-            # hinge pins mass at the warm start's value with zero force
-            # above it.
-            segment=300, chunk=8192, mass_lam=30.0, mass_width=2e-4,
+            # rq gain (stage 41, sampled full energy unmoved); a WIDE
+            # hinge (w=2e-4) anchored AT the warm-start mass is still
+            # half-force at the start point and L-BFGS raises mass
+            # instead of lowering rq (rql3 evals 25-100). Sharp wall
+            # with tiny slack: floor = m0 - 3e-5, w = 1e-5 (interior
+            # force lam*sigmoid(-3) ~ 1.4, full-energy cost of spending
+            # the whole slack ~ 0.09 mHa at the measured ~3 Ha junk
+            # energy).
+            segment=200, chunk=8192, mass_lam=30.0, mass_width=1e-5,
+            mass_slack=3e-5,
             log_every=25, on_log=on_log, on_stage=on_stage,
             accept_fn=lambda prm: measure(prm, "rql acceptance"),
         )
