@@ -639,7 +639,7 @@ def support_vmc_lbfgs(anqs, params, target, h_csr, e_nuc: float, *,
         q = np.exp(2.0 * np.minimum(la64, 20.0))
         mass = float(np.sum(q))
         if state["floor"] is None:
-            # C2H4-scale measurement (runs/logs/c2h4_rql3.log evals
+            # C2H4-scale measurement (runs/logs/c2h4_rql3_overdamped.log evals
             # 25-100): floor AT the warm-start mass with w=2e-4 leaves
             # sigmoid(0)=lam/2 of force at the start point -- 15-150x
             # the energy-gradient scale -- and L-BFGS spends the whole

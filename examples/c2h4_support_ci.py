@@ -220,12 +220,25 @@ def main():
             RUN_DIR, f"ckpt_{si + 1 if si < 10 else si}"
         )
 
+    def best_measured_ckpt():
+        """Best MEASURED stage whose checkpoint directory actually
+        exists (rejected stages save no ckpt; non-force-added ckpts are
+        wiped between rounds -- ADVICE r4: never point a resume at a
+        checkpoint that may be gone)."""
+        rows = sorted(results["stages"], key=lambda s: s["full_e"])
+        for row in rows:
+            ck = row.get("ckpt") or stage_ckpt(row["stage"])
+            if os.path.isdir(ck):
+                return row, ck
+        raise FileNotFoundError(
+            "no recorded stage has an existing checkpoint dir"
+        )
+
     if cmd in ("rq", "rql") and results.get("stages"):
         # Resume from the best MEASURED stage, never from "latest"
         # (round-3 lesson: the latest checkpoint was the wrecked
         # polish state at -47% corr).
-        best_row = min(results["stages"], key=lambda s: s["full_e"])
-        src = stage_ckpt(best_row["stage"])
+        best_row, src = best_measured_ckpt()
         params, _, key, stage = vmc.load_checkpoint(src)
     else:
         own = latest_ckpt(RUN_DIR)
@@ -255,16 +268,31 @@ def main():
               f"ce {row['cross_entropy']:.6f} best {row['best_loss']:.6f} "
               f"[{time.perf_counter() - t0:.0f}s]", flush=True)
 
-    def record(si, lr, e, ck):
-        results["stages"].append(
-            {"stage": si, "lr": lr, "full_e": e, "corr_pct": corr(e)}
-        )
+    def commit_row(row, ck=None):
+        """Append a stage row and refresh the summary's best fields.
+        `best_ckpt` points at the best stage whose checkpoint EXISTS so
+        external consumers (queue commit_artifacts, round resumes) never
+        re-derive the stage->ckpt naming (ADVICE r4)."""
+        if ck:
+            row["ckpt"] = ck
+        results["stages"].append(row)
         best = min(s["full_e"] for s in results["stages"])
         results["best_full_e"] = best
         results["best_corr_pct"] = corr(best)
         results["vs_cisd_mha"] = (best - cisd) * 1e3
+        for r in sorted(results["stages"], key=lambda s: s["full_e"]):
+            c = r.get("ckpt") or stage_ckpt(r["stage"])
+            if os.path.isdir(c):
+                results["best_ckpt"] = c
+                break
         with open(results_path, "w") as f:
             json.dump(results, f, indent=1)
+
+    def record(si, lr, e, ck):
+        commit_row(
+            {"stage": si, "lr": lr, "full_e": e, "corr_pct": corr(e)},
+            ck,
+        )
 
     if cmd in ("all", "distill"):
         stages = ((6000, 3e-4), (6000, 1e-4), (6000, 3e-5), (6000, 1e-5))
@@ -326,23 +354,16 @@ def main():
 
         def on_stage(row, prm):
             si = rq_base + row["stage"]
+            ck = None
             if row.get("accepted", True):
-                vmc.save_checkpoint(
-                    os.path.join(RUN_DIR, f"ckpt_{si}"),
-                    prm, vmc.opt.init(prm), key, si,
-                )
-            results["stages"].append({
+                ck = os.path.join(RUN_DIR, f"ckpt_{si}")
+                vmc.save_checkpoint(ck, prm, vmc.opt.init(prm), key, si)
+            commit_row({
                 "stage": si, "lr": row["lr"], "full_e": row["energy"],
                 "corr_pct": corr(row["energy"]),
                 "best_rq": row["best_rq"], "rq_corr_pct": corr(row["best_rq"]),
                 "accepted": row.get("accepted"), "precision": "highest",
-            })
-            best = min(s["full_e"] for s in results["stages"])
-            results["best_full_e"] = best
-            results["best_corr_pct"] = corr(best)
-            results["vs_cisd_mha"] = (best - cisd) * 1e3
-            with open(results_path, "w") as f:
-                json.dump(results, f, indent=1)
+            }, ck)
 
         # LR ladder: wave 1 (lrs=(3e-4,...), stage 20) was smooth and
         # monotonic but slow -- 62.3 -> 82.5% corr in 900 iters with
@@ -394,25 +415,18 @@ def main():
 
         def on_stage(row, prm):
             si = rql_base + row["stage"]
+            ck = None
             if row.get("accepted", True):
-                vmc.save_checkpoint(
-                    os.path.join(RUN_DIR, f"ckpt_{si}"),
-                    prm, vmc.opt.init(prm), key, si,
-                )
-            results["stages"].append({
+                ck = os.path.join(RUN_DIR, f"ckpt_{si}")
+                vmc.save_checkpoint(ck, prm, vmc.opt.init(prm), key, si)
+            commit_row({
                 "stage": si, "lr": 0.0, "full_e": row["energy"],
                 "corr_pct": corr(row["energy"]),
                 "best_rq": row["best_rq"],
                 "rq_corr_pct": corr(row["best_rq"]),
                 "accepted": row.get("accepted"), "precision": "highest",
                 "optimizer": "lbfgs", "evals": row["evals"],
-            })
-            best = min(s["full_e"] for s in results["stages"])
-            results["best_full_e"] = best
-            results["best_corr_pct"] = corr(best)
-            results["vs_cisd_mha"] = (best - cisd) * 1e3
-            with open(results_path, "w") as f:
-                json.dump(results, f, indent=1)
+            }, ck)
             print(f"  rql stage {si} accepted={row.get('accepted')} "
                   f"full_e {row.get('energy', float('nan')):+.6f} "
                   f"({row['scipy_msg']})", flush=True)
@@ -426,7 +440,8 @@ def main():
             # rq gain (stage 41, sampled full energy unmoved); a WIDE
             # hinge (w=2e-4) anchored AT the warm-start mass is still
             # half-force at the start point and L-BFGS raises mass
-            # instead of lowering rq (rql3 evals 25-100). Sharp wall
+            # instead of lowering rq (runs/logs/c2h4_rql3_overdamped.log
+            # evals 25-100). Sharp wall
             # with tiny slack: floor = m0 - 3e-5, w = 1e-5 (interior
             # force lam*sigmoid(-3) ~ 1.4, full-energy cost of spending
             # the whole slack ~ 0.09 mHa at the measured ~3 Ha junk
@@ -445,9 +460,9 @@ def main():
         if not stages_l:
             print("confirm: no recorded stages", flush=True)
             return
-        best_stage = min(stages_l, key=lambda s: s["full_e"])
-        si = best_stage["stage"]
-        ck = stage_ckpt(si)
+        best_stage, ck = best_measured_ckpt()
+        print(f"confirm: stage {best_stage['stage']} from {ck}",
+              flush=True)
         params, _, key, _ = vmc.load_checkpoint(ck)
         es = np.array(
             [measure(params, f"confirm {i}") for i in range(5)]

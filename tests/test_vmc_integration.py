@@ -41,9 +41,13 @@ def test_lih_vmc_converges(lih):
     assert best["energy"] < lih.hf_energy - 0.005
 
 
+@pytest.mark.slow
 def test_vmc_multichip_dryrun():
     """Sharded train step on the 8-device CPU mesh: compiles, runs, and the
-    metrics stay finite (SURVEY.md section 4 item g)."""
+    metrics stay finite (SURVEY.md section 4 item g). Runs the fast
+    (shape-proxy flagship) dryrun; the production-shape variant is
+    ANQS_DRYRUN_FULL=1 (round-4 VERDICT items 1/8: the full shape took
+    77 min on this host and must not sit un-marked in the suite)."""
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)

@@ -51,12 +51,18 @@ import json, os, sys
 d = sys.argv[1]
 p = os.path.join(d, "summary.json")
 if os.path.exists(p):
-    rows = json.load(open(p)).get("stages", [])
-    rows = [r for r in rows if r.get("accepted") is not False]
-    if rows:
-        si = min(rows, key=lambda s: s["full_e"])["stage"]
-        # early distill stages saved as ckpt_{stage+1}; stages >= 10 as-is
-        print(os.path.join(d, f"ckpt_{si + 1 if si < 10 else si}"))
+    s = json.load(open(p))
+    # The example writes the authoritative best-stage checkpoint path
+    # (ADVICE r4: never re-derive the stage->ckpt naming here).
+    bc = s.get("best_ckpt")
+    if bc:
+        print(bc)
+    else:
+        rows = [r for r in s.get("stages", [])
+                if r.get("accepted") is not False]
+        if rows:
+            si = min(rows, key=lambda s: s["full_e"])["stage"]
+            print(os.path.join(d, f"ckpt_{si + 1 if si < 10 else si}"))
 EOF
 )
       [ -n "$best" ] && [ -e "$best" ] && git add -f "$best"
@@ -98,13 +104,15 @@ run_job q10_c2h4_prep runs/c2h4_sci 14400 2 \
 # Leg 0b: restricted H (h_support.npz; ~40 min C++ Slater-Condon).
 if [ ! -f runs/c2h4_sci/h_support.npz ]; then
   run_job q10_h_support runs/c2h4_sci 14400 2 \
-    nice -n 19 python tools/build_c2h4_support_h.py
+    nice -n 19 env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE \
+    JAX_PLATFORMS=cpu python tools/build_c2h4_support_h.py
 fi
 
 # Leg 0c: Cr2/SV prep (~60 min host).
 if ! ls mols/Cr2/*.npz >/dev/null 2>&1; then
   run_job q10_cr2_prep runs/cr2_prep_summary.json 14400 2 \
-    nice -n 19 python tools/prep_cr2.py
+    nice -n 19 env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE \
+    JAX_PLATFORMS=cpu python tools/prep_cr2.py
   commit_artifacts "Queue10: Cr2 re-prep" runs/cr2_prep_summary.json
 fi
 
