@@ -293,6 +293,8 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
                 grad_clip: float = 10.0, log_every: int = 25,
                 sr_k: int = 0, sr_eps: float = 1e-4,
                 objective: str = "rq",
+                refit_temp: float = 2.0,
+                refit_phase_weight: float = 1.0,
                 target_coef: Optional[np.ndarray] = None,
                 on_log: Optional[Callable] = None,
                 on_stage: Optional[Callable] = None,
@@ -430,16 +432,39 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
             return step
 
     h64 = h_csr  # scipy CSR, f64, no e_nuc on the diagonal
-    if objective not in ("rq", "overlap"):
+    if objective not in ("rq", "overlap", "refit"):
         raise ValueError(f"unknown objective {objective!r}")
     t_c = None
-    if objective == "overlap":
+    if objective in ("overlap", "refit"):
         if target_coef is not None:
             t_c = np.asarray(target_coef, np.float64)
         else:
             a_t = np.sqrt(np.asarray(target["p"], np.float64))
             t_c = a_t * np.cos(np.asarray(target["ph"], np.float64))
         t_c = t_c / np.linalg.norm(t_c)
+    if objective == "refit":
+        # Tempered log-profile + circular phase refit against the known
+        # selected-CI vector (round-5 C2H4 counterfactual diagnosis,
+        # runs/c2h4_sci/diag_counterfactual.json): the trained state's
+        # 27.4 mHa restricted gap is MAGNITUDE mis-shaping -- ranks
+        # 1k-10k hold half their target mass, ranks 10k-100k 40x too
+        # little -- and both rq gradients (prop. to p_net) and CE/fid
+        # gradients are exponentially suppressed exactly on those
+        # starved rows. This objective regresses la on log|t| directly
+        # (gradient prop. to the TEMPERED target weight, no
+        # suppression), offset-free in both la (normalization freedom)
+        # and phase (GLOBAL-PHASE freedom + 2pi wrap: the polish's
+        # absolute (ph - ph_t)^2 term fights the state's arbitrary
+        # global phase -- measured -2.6 rad on ckpt_43 -- which is the
+        # round-3 'polish wreck' failure mode; here the phase loss is
+        # w*(1 - cos(dph - theta*)) with theta* the optimal global
+        # offset, envelope-differentiated).  Exact-rq best-snapshot
+        # selection each iteration means a profile step that hurts the
+        # energy can never ship.
+        w_ref = np.abs(t_c) ** (2.0 / refit_temp)
+        w_ref = w_ref / w_ref.sum()
+        la_t = np.log(np.maximum(np.abs(t_c), 1e-300))
+        ph_t = np.where(t_c < 0, np.pi, 0.0)
     info = []
     best_e, best_params = None, None
     if accept_fn is not None:
@@ -474,6 +499,20 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
                 zw = (np.conj(z) * w_ov) / max(n_ov, 1e-300)
                 g = (p - zw.real).astype(np.float32)
                 h = zw.imag.astype(np.float32)
+            elif objective == "refit":
+                dla = la64 - la_t
+                mu = float(w_ref @ dla)
+                g = (2.0 * w_ref * (dla - mu)).astype(np.float32)
+                dph = ph64 - ph_t
+                z_ph = complex(w_ref @ np.exp(1j * dph))
+                theta = np.angle(z_ph)
+                h = (refit_phase_weight * w_ref
+                     * np.sin(dph - theta)).astype(np.float32)
+                refit_loss = float(
+                    w_ref @ (dla - mu) ** 2
+                    + refit_phase_weight
+                    * (w_ref @ (1.0 - np.cos(dph - theta)))
+                )
             else:
                 g = (p * (e_loc.real - e_r)).astype(np.float32)
                 h = (p * e_loc.imag).astype(np.float32)
@@ -500,6 +539,8 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
                            "mass": float(m), "best_rq": best_rq}
                 if objective == "overlap":
                     row_log["fid"] = n_ov
+                elif objective == "refit":
+                    row_log["refit_loss"] = refit_loss
                 on_log(row_log)
         params = best_rq_params
         row = {"stage": si, "lr": lr, "best_rq": best_rq}

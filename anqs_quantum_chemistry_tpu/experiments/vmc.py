@@ -603,8 +603,42 @@ class VMC:
 
             self._step_cache[key] = {
                 "call": call, "eff": eff, "samp": samp, "opt": opt,
+                "jitted": jitted,
             }
         return self._step_cache[key]["call"]
+
+    def step_cost_analysis(self, overrides: Optional[dict] = None):
+        """XLA-counted cost of the single-step program: flops, bytes
+        accessed, peak HBM -- the roofline numerator for bench.py's MFU
+        accounting (SURVEY.md section 7 build-order item 11; reference
+        counterpart: LocalEnergyMetrics' hand-rolled op accounting,
+        pauli_observable.py:25-86 -- here the compiler itself counts).
+        Returns {} when the backend exposes no cost analysis."""
+        self._get_step(overrides)
+        key, eff, _ = self._step_configs(overrides)
+        ent = self._step_cache[key]
+        params, opt_state, k = self.init_state()
+        try:
+            compiled = ent["jitted"].lower(
+                params, opt_state, k, self.device_consts(),
+                jnp.asarray(self._current_budget(eff), jnp.int32),
+            ).compile()
+            ca = compiled.cost_analysis()
+        except Exception as e:  # pragma: no cover - backend-dependent
+            return {"error": str(e)}
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        if not isinstance(ca, dict):
+            return {}
+        out = {}
+        for k_ in ("flops", "bytes accessed", "utilization operand"):
+            for name, v in ca.items():
+                if name == k_ or name.startswith(k_):
+                    out[name] = float(v)
+        if "flops" not in out and ca:
+            out = {str(a): float(b) for a, b in ca.items()
+                   if isinstance(b, (int, float))}
+        return out
 
     def _multi_step(self, n_steps: int, overrides: Optional[dict] = None):
         """One device dispatch running ``n_steps`` training steps via

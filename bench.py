@@ -113,6 +113,28 @@ def main():
     # TRAINED state's sample set; benching the cold state undercounts.
     rate_g, spi_g, energy_g = measure(vmc_g, warmup_iters=500)
 
+    # Roofline accounting (round-4 VERDICT item 4 / SURVEY section 7
+    # build-order item 11): XLA's own cost model counts the step's
+    # flops + HBM traffic; MFU is against the v5e bf16 MXU peak
+    # (197 TFLOP/s; the energy-critical matmuls run f32-in-bf16-passes
+    # at precision HIGHEST, so this is the conservative denominator).
+    V5E_PEAK_FLOPS = 197e12
+    cost = vmc_g.step_cost_analysis()
+    flops_it = float(cost.get("flops", 0.0))
+    bytes_it = float(cost.get("bytes accessed", 0.0))
+    if not bytes_it:
+        # Some backends report only per-operand keys
+        # ("bytes accessed0{}", ...).
+        bytes_it = sum(
+            v for k, v in cost.items() if k.startswith("bytes accessed")
+        )
+    mfu = flops_it / spi_g / V5E_PEAK_FLOPS if flops_it else None
+    hbm_frac = (
+        # v5e HBM bandwidth 819 GB/s: fraction of the step spent moving
+        # the XLA-counted bytes at full bandwidth.
+        bytes_it / 819e9 / spi_g if bytes_it else None
+    )
+
     _, vmc_d = build_vmc("gumbel", sector="off")
     rate_d, spi_d, energy_d = measure(vmc_d, warmup_iters=500)
 
@@ -142,6 +164,22 @@ def main():
                 ),
                 "sec_per_iter": round(spi_g, 5),
                 "energy_last": energy_g,
+                "mfu": round(mfu, 5) if mfu is not None else None,
+                "flops_per_iter": flops_it,
+                "hbm_bytes_per_iter": bytes_it,
+                "hbm_bound_fraction": (
+                    round(hbm_frac, 4) if hbm_frac is not None else None
+                ),
+                "roofline_note": (
+                    "flops/bytes are XLA cost-model counts of the "
+                    "single-step executable (VMC.step_cost_analysis); "
+                    "mfu = flops/sec vs the 197 TFLOP/s v5e bf16 peak; "
+                    "hbm_bound_fraction = bytes/sec vs the 819 GB/s v5e "
+                    "HBM peak. The step is gather/membership-dominated, "
+                    "not matmul-dominated, so low MFU with "
+                    "hbm_bound_fraction near 1 means the step runs at "
+                    "the memory roofline."
+                ),
                 "sampled_dynamic": {
                     "found_pairs_per_sec": round(rate_d, 1),
                     "vs_baseline": round(rate_d / baseline, 3),

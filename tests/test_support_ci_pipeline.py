@@ -206,3 +206,58 @@ def test_support_vmc_lbfgs_beats_adam_recipe():
     # measured 1.41e-4 residual at 1/6 the evals.
     assert best < e0 + 1.2e-4
     assert rows[-1]["mass"] > 0.98    # leak penalty holds the mass
+
+
+def test_support_vmc_refit_objective_repairs_profile():
+    """objective='refit' (round-5): tempered log-profile + CIRCULAR
+    offset-free phase regression against the known selected-CI vector.
+    Its gradients scale with the tempered target weight, not the
+    network's own (possibly exponentially starved) amplitudes -- the
+    C2H4 counterfactual diagnosis showed rq/CE/fidelity gradients all
+    vanish exactly on the starved tail rows. From a short CE warm start
+    the exact rq must descend materially and the refit loss must drop;
+    a global phase on the state must NOT be penalized (the polish's
+    absolute phase MSE was the round-3 wreck mode)."""
+    from anqs_quantum_chemistry_tpu.chem import fci as fci_mod
+
+    mol = Molecule.create(
+        MolConfig(name="LiH"), mols_dir="mols", run_fci=True
+    )
+    vmc = VMC(
+        mol,
+        VMCConfig(sample_num=128, sampling_mode="gumbel",
+                  qubit_per_qudit=3, seed=0),
+        AnqsConfig(hidden_widths=(64,)),
+    )
+    params, _, key = vmc.init_state()
+    seed_dets, key = scp.sample_support(vmc, params, key, 128, passes=2)
+    e0, dets, coef = sci.selected_ci(
+        seed_dets, mol.h1, mol.v, mol.e_nuc, n_parents=64, rounds=3,
+        tol=1e-8,
+    )
+    target = scp.make_target(dets, coef, mol.qubit_num)
+    params = scp.distill(
+        vmc.anqs, params, target, jax.random.PRNGKey(1),
+        stages=((800, 3e-3),), batch=4096,
+    )
+    h = fci_mod.sparse_hamiltonian(sorted(dets), mol.h1, mol.v)
+    rows = []
+    params, info = scp.support_vmc(
+        vmc.anqs, params, target, h, mol.e_nuc,
+        lrs=(1e-3,), steps_per_stage=300, chunk=256,
+        mass_lam=1.0, grad_clip=1000.0, log_every=50,
+        objective="refit", target_coef=coef,
+        on_log=lambda row: rows.append(row),
+    )
+    losses = [r["refit_loss"] for r in rows]
+    rqs = [r["rq"] for r in rows]
+    assert losses[-1] < losses[0] * 0.5   # the profile fit converges
+    best = min(r["best_rq"] for r in info)
+    assert best >= e0 - 1e-6              # variational within the support
+    # The refit is a REPAIR stage, not a closer: a perfectly-converged
+    # tempered profile fit still leaves 10s of mHa on the table (the
+    # tempered metric is not the energy metric -- measured on this toy:
+    # loss 4.5e-4 with rq 80 mHa above e0), so the assertion is a
+    # MATERIAL energy descent from the CE start, after which rq/rql
+    # optimizers take over with un-starved gradients.
+    assert best < rqs[0] - 0.02
