@@ -3,6 +3,7 @@ on LiH: enrich -> distill -> polish -> measure, all on CPU."""
 
 import numpy as np
 import jax
+import pytest
 
 from anqs_quantum_chemistry_tpu.chem.molecule import Molecule, MolConfig
 from anqs_quantum_chemistry_tpu.chem import selected_ci as sci
@@ -11,6 +12,7 @@ from anqs_quantum_chemistry_tpu.experiments.vmc import VMC, VMCConfig
 from anqs_quantum_chemistry_tpu.models.anqs import AnqsConfig
 
 
+@pytest.mark.slow
 def test_pipeline_reaches_near_fci_on_lih(tmp_path):
     mol = Molecule.create(
         MolConfig(name="LiH"), mols_dir="mols", run_fci=True

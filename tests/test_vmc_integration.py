@@ -17,6 +17,7 @@ def lih():
                            mols_dir="mols")
 
 
+@pytest.mark.slow
 def test_lih_vmc_converges(lih):
     vmc = VMC(
         lih,
