@@ -295,6 +295,8 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
                 objective: str = "rq",
                 refit_temp: float = 2.0,
                 refit_phase_weight: float = 1.0,
+                refit_clip: float = 3.0,
+                refit_beta: float = 1.0,
                 target_coef: Optional[np.ndarray] = None,
                 on_log: Optional[Callable] = None,
                 on_stage: Optional[Callable] = None,
@@ -432,17 +434,17 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
             return step
 
     h64 = h_csr  # scipy CSR, f64, no e_nuc on the diagonal
-    if objective not in ("rq", "overlap", "refit"):
+    if objective not in ("rq", "overlap", "refit", "rq_refit"):
         raise ValueError(f"unknown objective {objective!r}")
     t_c = None
-    if objective in ("overlap", "refit"):
+    if objective in ("overlap", "refit", "rq_refit"):
         if target_coef is not None:
             t_c = np.asarray(target_coef, np.float64)
         else:
             a_t = np.sqrt(np.asarray(target["p"], np.float64))
             t_c = a_t * np.cos(np.asarray(target["ph"], np.float64))
         t_c = t_c / np.linalg.norm(t_c)
-    if objective == "refit":
+    if objective in ("refit", "rq_refit"):
         # Tempered log-profile + circular phase refit against the known
         # selected-CI vector (round-5 C2H4 counterfactual diagnosis,
         # runs/c2h4_sci/diag_counterfactual.json): the trained state's
@@ -499,20 +501,37 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
                 zw = (np.conj(z) * w_ov) / max(n_ov, 1e-300)
                 g = (p - zw.real).astype(np.float32)
                 h = zw.imag.astype(np.float32)
-            elif objective == "refit":
+            elif objective in ("refit", "rq_refit"):
                 dla = la64 - la_t
                 mu = float(w_ref @ dla)
-                g = (2.0 * w_ref * (dla - mu)).astype(np.float32)
+                # Residual CLAMP (round-5 live lesson, q11_refit attempt
+                # 1): the starved tail sits at dla ~ -13..-25, and the
+                # unclamped pull 2*w*dla slammed the co-adapted top
+                # amplitudes -- rq collapsed -78.19 -> -77.2 within 75
+                # Adam steps at lr 3e-4. Bounding the residual keeps the
+                # pull DIRECTIONAL (every starved det rises at the same
+                # capped rate) without the magnitude blowup.
+                r_la = np.clip(dla - mu, -refit_clip, refit_clip)
+                g = (2.0 * w_ref * r_la)
                 dph = ph64 - ph_t
                 z_ph = complex(w_ref @ np.exp(1j * dph))
                 theta = np.angle(z_ph)
-                h = (refit_phase_weight * w_ref
-                     * np.sin(dph - theta)).astype(np.float32)
+                h = (refit_phase_weight * w_ref * np.sin(dph - theta))
                 refit_loss = float(
                     w_ref @ (dla - mu) ** 2
                     + refit_phase_weight
                     * (w_ref @ (1.0 - np.cos(dph - theta)))
                 )
+                if objective == "rq_refit":
+                    # Mixed pull: the rq gradient protects the energy on
+                    # the high-p rows (where it dominates the tempered
+                    # term), the clamped refit term dominates exactly on
+                    # the starved rows where p ~ 0 makes the rq gradient
+                    # invisible.
+                    g = p * (e_loc.real - e_r) + refit_beta * g
+                    h = p * e_loc.imag + refit_beta * h
+                g = g.astype(np.float32)
+                h = h.astype(np.float32)
             else:
                 g = (p * (e_loc.real - e_r)).astype(np.float32)
                 h = (p * e_loc.imag).astype(np.float32)
@@ -539,7 +558,7 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
                            "mass": float(m), "best_rq": best_rq}
                 if objective == "overlap":
                     row_log["fid"] = n_ov
-                elif objective == "refit":
+                elif objective in ("refit", "rq_refit"):
                     row_log["refit_loss"] = refit_loss
                 on_log(row_log)
         params = best_rq_params

@@ -436,13 +436,19 @@ def main():
                 "optimizer": "refit",
             }, ck)
 
+        # rq_refit + clamp + low lr (q11_refit attempt-1 live lesson:
+        # pure refit at lr 3e-4 with unclamped residuals collapsed rq
+        # -78.19 -> -77.2 in 75 steps, mass leaked to 0.92 -- the mixed
+        # pull keeps the rq gradient guarding the top rows while the
+        # clamped tempered term un-starves the tail).
         steps = int(sys.argv[2]) if len(sys.argv) > 2 else 600
         params, info = support_ci.support_vmc(
             vmc.anqs, params, target, h, mol.e_nuc,
-            lrs=(3e-4, 1e-4, 3e-5), steps_per_stage=steps,
-            chunk=8192, mass_lam=3.0, grad_clip=1000.0,
+            lrs=(1e-4, 3e-5), steps_per_stage=steps,
+            chunk=8192, mass_lam=30.0, grad_clip=1000.0,
             log_every=25, on_log=on_log, on_stage=on_stage,
-            objective="refit", target_coef=tc,
+            objective="rq_refit", refit_clip=3.0, refit_beta=1.0,
+            target_coef=tc,
             accept_fn=lambda prm: measure(prm, "refit acceptance"),
         )
 
