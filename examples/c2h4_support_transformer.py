@@ -173,12 +173,18 @@ def main():
               f"full_e {row['energy']:+.6f}", flush=True)
 
     if cmd == "refit":
+        # Mixed rq_refit with clamped residuals (q11_refit attempt-1
+        # live lesson on the MADE: pure refit at lr 3e-4 with unclamped
+        # tail residuals collapsed rq -78.19 -> -77.2 in 75 steps and
+        # leaked mass to 0.92; the rq guard + +-3 clamp is the verified
+        # repair objective, commit 623da95).
         params, info = support_ci.support_vmc(
             vmc.anqs, params, target, h, mol.e_nuc,
-            lrs=(3e-4, 1e-4), steps_per_stage=arg or 300,
-            chunk=8192, mass_lam=3.0, grad_clip=1000.0,
+            lrs=(1e-4, 3e-5), steps_per_stage=arg or 300,
+            chunk=8192, mass_lam=30.0, grad_clip=1000.0,
             log_every=25, on_log=on_log, on_stage=on_stage,
-            objective="refit", target_coef=tc,
+            objective="rq_refit", refit_clip=3.0, refit_beta=1.0,
+            target_coef=tc,
             accept_fn=lambda prm: measure(prm, "refit acceptance"),
         )
     elif cmd == "rq":
