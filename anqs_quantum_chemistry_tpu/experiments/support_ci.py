@@ -298,6 +298,8 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
                 refit_clip: float = 3.0,
                 refit_beta: float = 1.0,
                 target_coef: Optional[np.ndarray] = None,
+                select: Optional[str] = None,
+                accept_baseline: Optional[float] = None,
                 on_log: Optional[Callable] = None,
                 on_stage: Optional[Callable] = None,
                 accept_fn: Optional[Callable] = None):
@@ -467,9 +469,24 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
         w_ref = w_ref / w_ref.sum()
         la_t = np.log(np.maximum(np.abs(t_c), 1e-300))
         ph_t = np.where(t_c < 0, np.pi, 0.0)
+    # Stage-end snapshot policy. "rq" (energy best-snapshot) is the
+    # safety default for energy waves; a REPAIR wave (refit/rq_refit)
+    # must be allowed to raise rq while it un-starves the tail -- under
+    # "rq" its endpoint is always discarded and the wave is a
+    # structural no-op (q12_refit2 live lesson: rq rose monotonically,
+    # best_rq_params stayed at iter 0). Repair waves select by refit
+    # LOSS and hand that endpoint to the follow-on energy wave, whose
+    # acceptance (vs ``accept_baseline``, the GLOBAL incumbent sampled
+    # energy) remains the ship/no-ship guard.
+    if select is None:
+        select = "loss" if objective in ("refit", "rq_refit") else "rq"
+    if select not in ("rq", "loss", "last"):
+        raise ValueError(f"unknown select {select!r}")
     info = []
     best_e, best_params = None, None
-    if accept_fn is not None:
+    if accept_baseline is not None:
+        best_e, best_params = float(accept_baseline), params
+    elif accept_fn is not None:
         best_e, best_params = float(accept_fn(params)), params
 
     for si, lr in enumerate(lrs):
@@ -479,6 +496,7 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
         step = make_step(opt)
         ost = opt.init(params)
         best_rq, best_rq_params = np.inf, params
+        best_loss, best_loss_params = np.inf, params
         for it in range(steps_per_stage):
             la, ph = forward(params)
             la64 = np.asarray(la, np.float64)
@@ -522,6 +540,8 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
                     + refit_phase_weight
                     * (w_ref @ (1.0 - np.cos(dph - theta)))
                 )
+                if refit_loss < best_loss:
+                    best_loss, best_loss_params = refit_loss, params
                 if objective == "rq_refit":
                     # Mixed pull: the rq gradient protects the energy on
                     # the high-p rows (where it dominates the tempered
@@ -561,8 +581,13 @@ def support_vmc(anqs, params, target, h_csr, e_nuc: float, *,
                 elif objective in ("refit", "rq_refit"):
                     row_log["refit_loss"] = refit_loss
                 on_log(row_log)
-        params = best_rq_params
+        if select == "rq":
+            params = best_rq_params
+        elif select == "loss":
+            params = best_loss_params
         row = {"stage": si, "lr": lr, "best_rq": best_rq}
+        if select == "loss":
+            row["best_loss"] = best_loss
         if accept_fn is not None:
             e_stage = float(accept_fn(params))
             row["energy"] = e_stage

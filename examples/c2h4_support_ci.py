@@ -205,7 +205,8 @@ def main():
     # HIGHEST: bf16 matmul noise measurably degrades supervised fits of
     # peaked targets (H2O transformer CE 0.188 vs 0.428; VERDICT r3
     # suspect (a)), and the network+precision pair defines the state.
-    vmc = make_vmc(mol, precision="highest" if cmd in ("rq", "rql", "refit", "confirm")
+    vmc = make_vmc(mol, precision="highest"
+                   if cmd in ("rq", "rql", "refit", "repair", "confirm")
                    else None)
     target = support_ci.make_target(td, tc, mol.qubit_num)
 
@@ -234,7 +235,7 @@ def main():
             "no recorded stage has an existing checkpoint dir"
         )
 
-    if cmd in ("rq", "rql", "refit") and results.get("stages"):
+    if cmd in ("rq", "rql", "refit", "repair") and results.get("stages"):
         # Resume from the best MEASURED stage, never from "latest"
         # (round-3 lesson: the latest checkpoint was the wrecked
         # polish state at -47% corr).
@@ -442,14 +443,101 @@ def main():
         # pull keeps the rq gradient guarding the top rows while the
         # clamped tempered term un-starves the tail).
         steps = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+        # Live-tunable knobs (q12_refit live lesson: even the clamped
+        # mixed pull at beta=1 lr 1e-4 collapsed rq 85.8% -> 9.5% corr
+        # in 50 iters -- the aggregate tail pull of ~100k rows coherently
+        # overwhelms the rq guard in parameter space; the repair must be
+        # a PERTURBATION, beta << 1, at polish-scale lr).
+        beta = float(os.environ.get("ANQS_REFIT_BETA", "0.05"))
+        clip_r = float(os.environ.get("ANQS_REFIT_CLIP", "1.0"))
+        lrs_r = tuple(
+            float(x) for x in
+            os.environ.get("ANQS_REFIT_LRS", "3e-5").split(",")
+        )
         params, info = support_ci.support_vmc(
             vmc.anqs, params, target, h, mol.e_nuc,
-            lrs=(1e-4, 3e-5), steps_per_stage=steps,
+            lrs=lrs_r, steps_per_stage=steps,
             chunk=8192, mass_lam=30.0, grad_clip=1000.0,
             log_every=25, on_log=on_log, on_stage=on_stage,
-            objective="rq_refit", refit_clip=3.0, refit_beta=1.0,
+            objective="rq_refit", refit_clip=clip_r, refit_beta=beta,
             target_coef=tc,
             accept_fn=lambda prm: measure(prm, "refit acceptance"),
+        )
+
+    if cmd == "repair":
+        # Round-5 repair CHAIN (q12_refit2 live lesson): a refit wave
+        # necessarily RAISES rq while it un-starves the tail, so (a)
+        # its snapshot is selected by refit LOSS (select='loss',
+        # support_vmc), (b) it runs UNGUARDED (accept_fn=None -- its
+        # endpoint alone always measures worse than the incumbent), and
+        # (c) the follow-on rq Adam wave re-descends the energy with
+        # now-visible tail gradients, guarded against the GLOBAL
+        # incumbent (accept_baseline): a chain that ends below the
+        # incumbent ships nothing.
+        import scipy.sparse
+
+        h_path = os.path.join(RUN_DIR, "h_support.npz")
+        assert os.path.exists(h_path), (
+            "run tools/build_c2h4_support_h.py first (host, CPU-only)"
+        )
+        h = scipy.sparse.load_npz(h_path)
+        print(f"restricted H loaded: nnz={h.nnz}", flush=True)
+        incumbent = best_row["full_e"]
+        print(f"incumbent sampled full energy {incumbent:+.6f} "
+              f"({corr(incumbent):.2f}% corr)", flush=True)
+
+        beta = float(os.environ.get("ANQS_REFIT_BETA", "0.05"))
+        clip_r = float(os.environ.get("ANQS_REFIT_CLIP", "1.0"))
+        r_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+        q_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+
+        def on_log(row):
+            extra = (f" loss {row['refit_loss']:.6f}"
+                     if "refit_loss" in row else "")
+            print(f"  repair stage {row['stage']} iter {row['iter']:4d} "
+                  f"rq {row['rq']:+.6f} ({corr(row['rq']):.2f}% corr)"
+                  f"{extra} mass {row['mass']:.6f} "
+                  f"best {row['best_rq']:+.6f} "
+                  f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+
+        params, _ = support_ci.support_vmc(
+            vmc.anqs, params, target, h, mol.e_nuc,
+            lrs=(float(os.environ.get("ANQS_REFIT_LR", "3e-5")),),
+            steps_per_stage=r_steps,
+            chunk=8192, mass_lam=30.0, grad_clip=1000.0,
+            log_every=25, on_log=on_log, on_stage=None,
+            objective="rq_refit", refit_clip=clip_r, refit_beta=beta,
+            target_coef=tc, select="loss", accept_fn=None,
+        )
+        print("refit leg done; rq re-descent from the repaired state",
+              flush=True)
+
+        repair_base = 70 + sum(
+            1 for s in results.get("stages", []) if s["stage"] >= 70
+        )
+
+        def on_stage(row, prm):
+            si = repair_base + row["stage"]
+            ck = None
+            if row.get("accepted"):
+                ck = os.path.join(RUN_DIR, f"ckpt_{si}")
+                vmc.save_checkpoint(ck, prm, vmc.opt.init(prm), key, si)
+            commit_row({
+                "stage": si, "lr": row["lr"], "full_e": row["energy"],
+                "corr_pct": corr(row["energy"]),
+                "best_rq": row["best_rq"],
+                "rq_corr_pct": corr(row["best_rq"]),
+                "accepted": row.get("accepted"), "precision": "highest",
+                "optimizer": "repair",
+            }, ck)
+
+        params, info = support_ci.support_vmc(
+            vmc.anqs, params, target, h, mol.e_nuc,
+            lrs=(3e-4, 1e-4), steps_per_stage=q_steps,
+            chunk=8192, mass_lam=3.0, grad_clip=1000.0,
+            log_every=25, on_log=on_log, on_stage=on_stage,
+            accept_baseline=incumbent,
+            accept_fn=lambda prm: measure(prm, "repair acceptance"),
         )
 
     if cmd == "rql":

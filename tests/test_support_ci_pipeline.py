@@ -263,3 +263,69 @@ def test_support_vmc_refit_objective_repairs_profile():
     # MATERIAL energy descent from the CE start, after which rq/rql
     # optimizers take over with un-starved gradients.
     assert best < rqs[0] - 0.02
+
+
+def test_support_vmc_repair_chain_select_and_baseline():
+    """The round-5 repair-chain contract (q12_refit2 live lesson):
+
+    1. select='loss' -- a refit wave RAISES rq while it un-starves the
+       tail, so under the default best-rq snapshot its endpoint is
+       always discarded (the wave is a structural no-op). With
+       select='loss' the returned params are the best-LOSS snapshot:
+       materially different from the start and with a lower refit loss.
+    2. accept_baseline -- the follow-on energy wave is guarded against
+       the GLOBAL incumbent: with an unbeatable baseline, every stage
+       is rejected and the returned params are the incumbent (start)
+       params bit-for-bit.
+    """
+    from anqs_quantum_chemistry_tpu.chem import fci as fci_mod
+
+    mol = Molecule.create(
+        MolConfig(name="LiH"), mols_dir="mols", run_fci=True
+    )
+    vmc = VMC(
+        mol,
+        VMCConfig(sample_num=128, sampling_mode="gumbel",
+                  qubit_per_qudit=3, seed=0),
+        AnqsConfig(hidden_widths=(64,)),
+    )
+    params, _, key = vmc.init_state()
+    seed_dets, key = scp.sample_support(vmc, params, key, 128, passes=2)
+    e0, dets, coef = sci.selected_ci(
+        seed_dets, mol.h1, mol.v, mol.e_nuc, n_parents=64, rounds=3,
+        tol=1e-8,
+    )
+    target = scp.make_target(dets, coef, mol.qubit_num)
+    params = scp.distill(
+        vmc.anqs, params, target, jax.random.PRNGKey(1),
+        stages=((400, 3e-3),), batch=4096,
+    )
+    h = fci_mod.sparse_hamiltonian(sorted(dets), mol.h1, mol.v)
+
+    rows = []
+    out, info = scp.support_vmc(
+        vmc.anqs, params, target, h, mol.e_nuc,
+        lrs=(1e-3,), steps_per_stage=60, chunk=256,
+        mass_lam=1.0, grad_clip=1000.0, log_every=10,
+        objective="rq_refit", refit_clip=1.0, refit_beta=0.05,
+        target_coef=coef, select="loss",
+        on_log=lambda row: rows.append(row),
+    )
+    assert info[0]["best_loss"] <= rows[0]["refit_loss"]
+    l0 = jax.tree_util.tree_leaves(params)
+    l1 = jax.tree_util.tree_leaves(out)
+    assert any(
+        not np.allclose(a, b) for a, b in zip(l0, l1)
+    ), "select='loss' must return the moved (repaired) params"
+
+    # Unbeatable baseline: every stage rejected, incumbent returned.
+    out2, info2 = scp.support_vmc(
+        vmc.anqs, params, target, h, mol.e_nuc,
+        lrs=(1e-3,), steps_per_stage=30, chunk=256,
+        mass_lam=1.0, grad_clip=1000.0, log_every=10,
+        accept_baseline=-1e9,
+        accept_fn=lambda prm: 0.0,
+    )
+    assert all(r["accepted"] is False for r in info2)
+    l2 = jax.tree_util.tree_leaves(out2)
+    assert all(np.allclose(a, b) for a, b in zip(l0, l2))
