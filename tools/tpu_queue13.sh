@@ -64,7 +64,7 @@ run_job() {  # name timeout_s attempts cmd...
   return 1
 }
 
-run_job q13_rql 7200 2 python examples/c2h4_support_ci.py rql 800
+run_job q13_rql 7200 2 python examples/c2h4_support_ci.py rql 600
 run_job q13_confirm 5400 2 python examples/c2h4_support_ci.py confirm
 
 run_job q13_tr_measure 3600 2 \
