@@ -103,8 +103,14 @@ def main():
         nonlocal key
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
+        # row_chunk 128 (vs the MADE driver's 1024): the transformer
+        # forward over 1024x536 connected rows per dispatch crashed the
+        # TPU worker twice (q14_tr_measure rc=1, 01:39/01:47 -- the
+        # known big-dispatch HBM/watchdog kill mode); 8x smaller
+        # dispatches keep each launch inside the envelope.
         e, var = support_ci.sampled_full_energy(
-            vmc, prm, sub, sample_num=8192, row_chunk=1024,
+            vmc, prm, sub, sample_num=8192,
+            row_chunk=int(os.environ.get("ANQS_TR_ROW_CHUNK", "128")),
         )
         print(f"  [{tag}] sampled full energy {e:+.6f} "
               f"({corr(e):.2f}% corr) var {var:.2e} "
