@@ -65,7 +65,7 @@ run_job() {  # name timeout_s attempts cmd...
 }
 
 # rql leg dropped: L-BFGS converged flat at 86.12% (q14_rql.log) -- basin exhausted for quasi-Newton; Adam repair is the mover
-run_job q14_confirm 5400 2 python examples/c2h4_support_ci.py confirm
+# done 01:33 rc=0 (confirm mean -78.188610 +/- 2uHa): run_job q14_confirm 5400 2 python examples/c2h4_support_ci.py confirm
 
 run_job q14_tr_measure 3600 2 \
   python examples/c2h4_support_transformer.py measure
